@@ -1,0 +1,80 @@
+"""Command-line entry point: `python -m nbody_tpu <in> <out>`.
+
+Same CLI contract as the reference binary (`./hw5 <in> <out>`,
+hw5.cu:532-535), plus runtime flags for what the reference fixes at compile
+time (hw5.cu:1-6, 50-54).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nbody_tpu",
+        description="TPU-native N-body scenario solver (NTHU IPC HW5 capabilities)",
+    )
+    p.add_argument("input", help="testcase .in file")
+    p.add_argument("output", help="3-line .out file to write")
+    p.add_argument("--n-steps", type=int, default=None,
+                   help="override number of steps (default 200000)")
+    p.add_argument("--dist3-mode", choices=["dsqrt", "sqrt3", "pow"],
+                   default=None, help="fp64 (d^2)^1.5 evaluation order")
+    p.add_argument("--precision", choices=["f64", "dd", "f32"], default="f64",
+                   help="f64: exact IEEE binary64 (CPU); dd: accelerator "
+                        "double-double with exact 2^k rescale; f32: fast")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default=None,
+                   help="override backend (default: cpu for f64, tpu else)")
+    p.add_argument("--stats", action="store_true",
+                   help="print a JSON run-stats line to stderr")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Import after arg parsing so `--help` stays instant.
+    import dataclasses
+
+    from . import SimConfig, read_input, solve_scene, write_output
+
+    cfg = SimConfig()
+    overrides = {}
+    if args.n_steps is not None:
+        overrides["n_steps"] = args.n_steps
+    if args.dist3_mode is not None:
+        overrides["dist3_mode"] = args.dist3_mode
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    t0 = time.perf_counter()
+    scene = read_input(args.input)
+    ans = solve_scene(scene, cfg, precision=args.precision,
+                      platform=args.platform)
+    write_output(args.output, *ans.as_tuple())
+    elapsed = time.perf_counter() - t0
+
+    if args.stats:
+        # Structured observability (the reference only has DEBUG-gated
+        # printf timers, hw5.cu:25-29).
+        n_sims = 2 + (scene.device_cnt if ans.hit_time_step != -2 else 0)
+        pairs = scene.n * scene.n * (cfg.n_steps + 1) * n_sims
+        print(json.dumps({
+            "n": scene.n, "device_cnt": scene.device_cnt,
+            "n_steps": cfg.n_steps, "wall_s": round(elapsed, 3),
+            "pair_interactions": pairs,
+            "pairs_per_sec": round(pairs / elapsed, 1),
+            "answers": {"min_dist": ans.min_dist,
+                        "hit_time_step": ans.hit_time_step,
+                        "gravity_device_id": ans.gravity_device_id,
+                        "missile_cost": ans.missile_cost},
+        }), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Scenario orchestration: the TPU analog of the reference's `main`
+(hw5.cu:532-615).
+
+The reference spreads the three problems over two GPUs with std::thread +
+mutex work stealing; here the orchestration is a handful of host-side lines
+around two batched on-device scans (models/direct_sum.py). Selection of the
+winning device happens on host — it is O(device_cnt) scalar work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .config import SimConfig, DEFAULT_CONFIG
+from .io import Scene
+from .models.direct_sum import run_problems_12, run_problem_3
+from .physics import missile_cost_for_arrival, oscillation_table
+
+
+@dataclasses.dataclass
+class Answers:
+    min_dist: float
+    hit_time_step: int
+    gravity_device_id: int   # original body index of the winning device, or -1
+    missile_cost: float
+
+    def as_tuple(self):
+        return (self.min_dist, self.hit_time_step, self.gravity_device_id,
+                self.missile_cost)
+
+
+def select_winner(scene: Scene, arrivals: np.ndarray, saved: np.ndarray,
+                  cfg: SimConfig):
+    """Pick the cheapest saving device.
+
+    Cost is monotone in the arrival step, so min cost == earliest arrival;
+    ties broken by file order (the reference processes scenarios sorted by
+    (arrival step, slot index) and keeps the first strictly-cheaper winner,
+    hw5.cu:574-585 + 512-517 — slot order is device file order). Returns
+    (original body index, cost) or (-1, 0.0) as hw5.cu:598-601.
+    """
+    best = (-1, 0.0)
+    best_key = None
+    for k in range(scene.device_cnt):
+        if not saved[k]:
+            continue
+        cost = float(missile_cost_for_arrival(cfg, arrivals[k]))
+        key = (cost, int(scene.device_idx[k]))
+        if best_key is None or key < best_key:
+            best_key = key
+            best = (int(scene.device_idx[k]), cost)
+    return best
+
+
+def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
+                precision: str = "f64",
+                platform: str | None = None) -> Answers:
+    """Answer all three problems for a scene (hw5.cu:532-615 end to end).
+
+    precision:
+      'f64' — true IEEE binary64; runs on CPU by default (the TPU emulates
+              f64 with f32-range double-double arithmetic — see backend.py).
+              This is the golden-exact graded path.
+      'dd'  — f64 arrays on the accelerator (double-double emulation) with
+              exact power-of-2 rescaling to fit f32 range. Deterministic,
+              ~f64-accurate, much faster than CPU for large n.
+      'f32' — float32 fast path with rescaling; throughput mode.
+    """
+    from . import backend
+    from .utils.rescale import compute_rescale, IDENTITY
+
+    if platform is None:
+        platform = backend.default_platform_for_precision(precision)
+    device = backend.device_for(platform)
+
+    rescale = IDENTITY
+    run_scene, run_cfg = scene, cfg
+    dtype: object = np.float64
+    fast = False
+    if precision in ("dd", "f32"):
+        rescale = compute_rescale(scene)
+        run_scene = rescale.apply_scene(scene)
+        run_cfg = rescale.apply_cfg(cfg)
+        fast = True
+        if precision == "f32":
+            dtype = np.float32
+    elif precision != "f64":
+        raise ValueError(f"unknown precision: {precision}")
+
+    fst = oscillation_table(cfg)
+    p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
+                          dtype=dtype, fast=fast)
+
+    gravity_device_id, missile_cost = -1, 0.0
+    if p12.hit_time_step != -2 and scene.device_cnt > 0:
+        saved = run_problem_3(run_scene, p12, fst, run_cfg, device=device,
+                              dtype=dtype, fast=fast)
+        gravity_device_id, missile_cost = select_winner(
+            scene, p12.arrivals, saved, cfg)
+
+    return Answers(
+        min_dist=float(rescale.unscale_length(p12.min_dist)),
+        hit_time_step=p12.hit_time_step,
+        gravity_device_id=gravity_device_id,
+        missile_cost=missile_cost,
+    )
