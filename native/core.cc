@@ -1,0 +1,217 @@
+// Serial fp64 scenario solver — the native byte-golden core.
+//
+// The executable specification of the engine's semantics (what
+// samples/nbody.cc is for the reference, extended with the Problem-3 solver
+// the reference's serial sample leaves TODO at samples/nbody.cc:140-143).
+// With dist3_mode=pow this reproduces the reference's golden outputs
+// byte-for-byte (validated on the b20..b200 testcases), including the two
+// cases the reference's own CUDA build got wrong.
+//
+// Semantics follow the serial spec exactly: j-ascending force accumulation
+// (samples/nbody.cc:57-73), semi-implicit Euler (v += a dt; q += v dt),
+// strict `<` comparisons, step-0 inclusion, device-mass oscillation
+// m0 + 0.5*m0*|sin(step*dt/6000)| (samples/nbody.cc:14-16), expanding
+// missile sphere around the planet's current position (hw5.cu:270-274),
+// destruction effective from the arrival step with cost 1e5+1e3*(s+1)*dt
+// (hw5.cu:299-308). A device whose missile arrives after the hit step
+// cannot save the planet and is skipped (the reference can mis-evaluate
+// such scenarios because its resumed sim only checks hits from the resume
+// step, hw5.cu:489-508).
+
+#include "core.h"
+
+#include <cmath>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct Scene {
+    int n, planet, asteroid;
+    const double* q;
+    const double* v;
+    const double* m;
+    const int32_t* devices;
+    int device_cnt;
+    std::vector<bool> is_device;
+};
+
+struct Params {
+    int n_steps;
+    int mode;
+    double dt = 60.0;
+    double eps = 1e-3;
+    double G = 6.674e-11;
+    double planet_radius = 1e7;
+    double missile_speed = 1e6;
+};
+
+inline double dist3_of(double d2, int mode) {
+    if (mode == 0) return std::pow(d2, 1.5);
+    if (mode == 1) return d2 * std::sqrt(d2);
+    return std::sqrt(d2 * d2 * d2);
+}
+
+struct State {
+    std::vector<double> qx, qy, qz, vx, vy, vz;
+
+    void init(const Scene& s) {
+        const int n = s.n;
+        qx.resize(n); qy.resize(n); qz.resize(n);
+        vx.resize(n); vy.resize(n); vz.resize(n);
+        for (int i = 0; i < n; ++i) {
+            qx[i] = s.q[3 * i];
+            qy[i] = s.q[3 * i + 1];
+            qz[i] = s.q[3 * i + 2];
+            vx[i] = s.v[3 * i];
+            vy[i] = s.v[3 * i + 1];
+            vz[i] = s.v[3 * i + 2];
+        }
+    }
+
+    double sq_dist(int a, int b) const {
+        const double dx = qx[a] - qx[b];
+        const double dy = qy[a] - qy[b];
+        const double dz = qz[a] - qz[b];
+        return dx * dx + dy * dy + dz * dz;
+    }
+};
+
+// Advance to global step `step` (forces at t = step*dt with previous
+// positions). dead >= 0 pins that device's mass to zero.
+void advance(const Params& p, const Scene& s, bool devices_on, int dead,
+             int step, State& st) {
+    const int n = s.n;
+    const double t = step * p.dt;
+    const double fst = std::fabs(std::sin(t / 6000.0));
+    std::vector<double> m(n);
+    for (int j = 0; j < n; ++j) {
+        double mj = s.m[j];
+        if (s.is_device[j]) {
+            if (!devices_on || j == dead) mj = 0.0;
+            mj = mj + 0.5 * mj * fst;
+        }
+        m[j] = mj;
+    }
+    std::vector<double> ax(n, 0.0), ay(n, 0.0), az(n, 0.0);
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j < n; ++j) {
+            if (j == i) continue;
+            const double dx = st.qx[j] - st.qx[i];
+            const double dy = st.qy[j] - st.qy[i];
+            const double dz = st.qz[j] - st.qz[i];
+            const double d2 = dx * dx + dy * dy + dz * dz + p.eps * p.eps;
+            const double d3 = dist3_of(d2, p.mode);
+            ax[i] += p.G * m[j] * dx / d3;
+            ay[i] += p.G * m[j] * dy / d3;
+            az[i] += p.G * m[j] * dz / d3;
+        }
+    }
+    for (int i = 0; i < n; ++i) {
+        st.vx[i] += ax[i] * p.dt;
+        st.vy[i] += ay[i] * p.dt;
+        st.vz[i] += az[i] * p.dt;
+    }
+    for (int i = 0; i < n; ++i) {
+        st.qx[i] += st.vx[i] * p.dt;
+        st.qy[i] += st.vy[i] * p.dt;
+        st.qz[i] += st.vz[i] * p.dt;
+    }
+}
+
+struct Snapshot {
+    int step = -2;
+    State state;
+};
+
+}  // namespace
+
+extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
+                           const double* v, const double* m,
+                           const int32_t* device_idx, int device_cnt,
+                           int n_steps, int dist3_mode, double* out_min_dist,
+                           int32_t* out_hit_step, int32_t* out_device_id,
+                           double* out_cost) {
+    if (n <= 0 || planet < 0 || planet >= n || asteroid < 0 ||
+        asteroid >= n || n_steps < 0 || dist3_mode < 0 || dist3_mode > 2)
+        return 1;
+
+    Scene s{n, planet, asteroid, q, v, m, device_idx, device_cnt, {}};
+    s.is_device.assign(n, false);
+    for (int k = 0; k < device_cnt; ++k) {
+        if (device_idx[k] < 0 || device_idx[k] >= n) return 1;
+        s.is_device[device_idx[k]] = true;
+    }
+    Params p;
+    p.n_steps = n_steps;
+    p.mode = dist3_mode;
+    const double r2 = p.planet_radius * p.planet_radius;
+
+    // Problem 1: devices off, min planet-asteroid distance over all steps.
+    double min_d2 = std::numeric_limits<double>::infinity();
+    {
+        State st;
+        st.init(s);
+        for (int step = 0; step <= p.n_steps; ++step) {
+            if (step > 0) advance(p, s, false, -1, step, st);
+            const double d2 = st.sq_dist(planet, asteroid);
+            if (d2 < min_d2) min_d2 = d2;
+        }
+    }
+    *out_min_dist = std::sqrt(min_d2);
+
+    // Problem 2 + missile arrival snapshots.
+    int hit_step = -2;
+    std::vector<Snapshot> snaps(device_cnt);
+    {
+        State st;
+        st.init(s);
+        const double sdt = p.missile_speed * p.dt;
+        for (int step = 0; step <= p.n_steps; ++step) {
+            if (step > 0) advance(p, s, true, -1, step, st);
+            for (int k = 0; k < device_cnt; ++k) {
+                if (snaps[k].step != -2) continue;
+                const double md = sdt * step;
+                if (st.sq_dist(planet, device_idx[k]) < md * md) {
+                    snaps[k].step = step;
+                    snaps[k].state = st;
+                }
+            }
+            if (hit_step == -2 && st.sq_dist(planet, asteroid) < r2) {
+                hit_step = step;
+                break;  // later arrivals cannot save the planet
+            }
+        }
+    }
+    *out_hit_step = hit_step;
+
+    // Problem 3: cheapest saving device (original body index), ties by
+    // earlier body index (cost is monotone in arrival step).
+    int winner = -1;
+    double winner_cost = 0.0;
+    if (hit_step != -2) {
+        double best = std::numeric_limits<double>::infinity();
+        for (int k = 0; k < device_cnt; ++k) {
+            const int arr = snaps[k].step;
+            if (arr == -2 || arr > hit_step) continue;
+            State st = snaps[k].state;
+            bool hit = st.sq_dist(planet, asteroid) < r2;
+            for (int step = arr + 1; !hit && step <= p.n_steps; ++step) {
+                advance(p, s, true, device_idx[k], step, st);
+                if (st.sq_dist(planet, asteroid) < r2) hit = true;
+            }
+            if (!hit) {
+                const double cost = 1e5 + 1e3 * ((arr + 1) * p.dt);
+                if (cost < best) {
+                    best = cost;
+                    winner = device_idx[k];
+                    winner_cost = cost;
+                }
+            }
+        }
+    }
+    *out_device_id = winner;
+    *out_cost = winner_cost;
+    return 0;
+}

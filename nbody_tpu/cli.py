@@ -24,9 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override number of steps (default 200000)")
     p.add_argument("--dist3-mode", choices=["dsqrt", "sqrt3", "pow"],
                    default=None, help="fp64 (d^2)^1.5 evaluation order")
-    p.add_argument("--precision", choices=["f64", "dd", "f32"], default="f64",
-                   help="f64: exact IEEE binary64 (CPU); dd: accelerator "
-                        "double-double with exact 2^k rescale; f32: fast")
+    p.add_argument("--precision", choices=["exact", "f64", "dd", "f32"],
+                   default="f64",
+                   help="exact: native serial core, byte-golden; f64: IEEE "
+                        "binary64 scan (CPU); dd: accelerator double-double "
+                        "with exact 2^k rescale; f32: fast")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default=None,
                    help="override backend (default: cpu for f64, tpu else)")
     p.add_argument("--stats", action="store_true",

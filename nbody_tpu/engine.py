@@ -71,6 +71,14 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     from . import backend
     from .utils.rescale import compute_rescale, IDENTITY
 
+    if precision == "exact":
+        # Native serial core: byte-golden outputs (see nbody_tpu/native.py).
+        from .native import solve_exact
+        md, hs, dev, cost = solve_exact(scene, cfg,
+                                        dist3_mode=cfg.dist3_mode)
+        return Answers(min_dist=md, hit_time_step=hs, gravity_device_id=dev,
+                       missile_cost=cost)
+
     if platform is None:
         platform = backend.default_platform_for_precision(precision)
     device = backend.device_for(platform)

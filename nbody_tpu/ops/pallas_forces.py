@@ -6,20 +6,19 @@ hardware:
 
   * The CUDA kernel assigns one thread per (i, j) pair and reduces rows with
     fp64 atomicAdd (hw5.cu:211-213) — non-deterministic summation. Here the
-    grid is over i-row tiles only; each program loops over j-tiles
-    IN ORDER and accumulates (TI, TJ) partial forces on the VPU —
-    deterministic by construction, no atomics (TPU has none; it doesn't
-    need them).
-  * Body tiles live in VMEM: the j-side coordinate rows ((3, n) f32) and
-    masses are a few MB even at n = 65536, so each i-program streams the
-    whole j-dimension from VMEM with zero HBM re-reads.
-  * The oscillating device masses are folded into `gm_row = G * m_eff(t)`
-    on the host side of the kernel (one (n,) elementwise op per step), the
-    same hoisting as the reference's PREPROCESS_FST table (hw5.cu:143-148)
-    but without a table: it is fused by XLA into the step.
+    grid is (i-tiles, j-tiles) with j the minor, sequentially-executed
+    dimension: each i-row block accumulates its j-tiles IN ORDER into its
+    VMEM-resident output block — deterministic by construction, no atomics
+    (TPU has none; it doesn't need them).
+  * Pallas pipelines the j-tile loads (coordinates as (3, TJ) rows, masses
+    as (1, TJ)) from HBM into VMEM double buffers automatically, overlapping
+    DMA with the (TI, TJ) VPU force evaluation.
+  * The oscillating device masses are folded into `gm = G * m_eff(t)` by one
+    (n,) elementwise XLA op per step — the same hoisting as the reference's
+    PREPROCESS_FST table (hw5.cu:143-148) but fused rather than tabulated.
 
 Self-interactions need no masking: dq = 0 makes the numerator zero while
-softening keeps the denominator finite (same identity the serial spec's
+softening keeps the denominator finite (the identity the serial spec's
 `continue` expresses, samples/nbody.cc:59-60).
 """
 
@@ -34,52 +33,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _accel_kernel(qcol_ref, qrow_ref, gm_ref, out_ref, *, eps2: float,
-                  tile_j: int):
-    """One i-tile of rows against the full j-dimension.
+def _accel_kernel(qcol_ref, qrow_ref, gm_ref, out_ref, *, eps2: float):
+    """Grid point (i, j): row block i against column tile j.
 
-    qcol_ref: (TI, 3)  — i-side positions (this program's row block)
-    qrow_ref: (3, n)   — j-side positions, lanes along n
-    gm_ref:   (1, n)   — G * m_eff per j body
-    out_ref:  (TI, 3)  — accelerations for the row block
+    qcol_ref: (TI, 3)  — i-side positions (row block, constant over j)
+    qrow_ref: (3, TJ)  — j-side position tile, lanes along bodies
+    gm_ref:   (1, TJ)  — G * m_eff for the j tile
+    out_ref:  (TI, 3)  — accumulated accelerations for the row block
     """
-    ti = qcol_ref.shape[0]
-    n = qrow_ref.shape[1]
-    num_jt = n // tile_j
+    j = pl.program_id(1)
 
-    qxi = qcol_ref[:, 0:1]                      # (TI, 1)
-    qyi = qcol_ref[:, 1:2]
-    qzi = qcol_ref[:, 2:3]
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    def jt_body(jt, acc):
-        ax, ay, az = acc
-        sl = pl.ds(jt * tile_j, tile_j)
-        dx = qrow_ref[0:1, sl] - qxi            # (TI, TJ)
-        dy = qrow_ref[1:2, sl] - qyi
-        dz = qrow_ref[2:3, sl] - qzi
-        d2 = dx * dx + dy * dy + dz * dz + eps2
-        inv = lax.rsqrt(d2)
-        w = gm_ref[0:1, sl] * (inv * inv * inv)
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        return ax, ay, az
-
-    zero = jnp.zeros((ti, 1), dtype=out_ref.dtype)
-    ax, ay, az = lax.fori_loop(0, num_jt, jt_body, (zero, zero, zero))
-    out_ref[:, 0:1] = ax
-    out_ref[:, 1:2] = ay
-    out_ref[:, 2:3] = az
+    dx = qrow_ref[0:1, :] - qcol_ref[:, 0:1]      # (TI, TJ)
+    dy = qrow_ref[1:2, :] - qcol_ref[:, 1:2]
+    dz = qrow_ref[2:3, :] - qcol_ref[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz + eps2
+    inv = lax.rsqrt(d2)
+    w = gm_ref[0:1, :] * (inv * inv * inv)
+    out_ref[:, 0:1] += jnp.sum(w * dx, axis=1, keepdims=True)
+    out_ref[:, 1:2] += jnp.sum(w * dy, axis=1, keepdims=True)
+    out_ref[:, 2:3] += jnp.sum(w * dz, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_i", "tile_j"))
 def pallas_accel(q, gm, *, eps: float, tile_i: int = 256,
                  tile_j: int = 2048):
     """All-pairs accelerations. q: (n, 3) f32; gm: (n,) f32 = G*m_eff.
 
-    n must be a multiple of max(tile_i, tile_j) — pad with zero-mass bodies
+    n must be a multiple of tile_i and tile_j — pad with zero-mass bodies
     (exact: they contribute +0.0 to every sum).
+
+    Traced with x64 disabled: under x64, grid index maps become int64,
+    which Mosaic cannot legalize (the package enables x64 globally for the
+    fp64 graded path).
     """
+    with jax.enable_x64(False):
+        return _pallas_accel(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_i", "tile_j"))
+def _pallas_accel(q, gm, *, eps: float, tile_i: int, tile_j: int):
     n = q.shape[0]
     tile_j = min(tile_j, n)
     tile_i = min(tile_i, n)
@@ -87,18 +82,20 @@ def pallas_accel(q, gm, *, eps: float, tile_i: int = 256,
     qrow = q.T                                   # (3, n), tiny transpose
     gmrow = gm[None, :]                          # (1, n)
 
-    kernel = functools.partial(_accel_kernel, eps2=eps * eps, tile_j=tile_j)
+    kernel = functools.partial(_accel_kernel, eps2=eps * eps)
     flops_per_pair = 16
     return pl.pallas_call(
         kernel,
-        grid=(n // tile_i,),
+        grid=(n // tile_i, n // tile_j),
         in_specs=[
-            pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 3), q.dtype),
         cost_estimate=pl.CostEstimate(

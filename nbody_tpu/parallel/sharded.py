@@ -1,0 +1,118 @@
+"""Body-sharded N-body step: ring all-gather of body tiles over ICI.
+
+The N-body analog of context/sequence parallelism (SURVEY.md §2.4 P9): bodies
+(the "sequence") are sharded across chips along a mesh axis; each chip owns a
+row-block of the N x N interaction matrix and accumulates forces against
+j-body tiles that rotate around the ring via `lax.ppermute` — the ring-
+attention communication pattern. Communication rides ICI and overlaps with
+the per-rotation force computation; XLA schedules the collective.
+
+The reference has no cross-GPU communication at all (its two GPUs stage
+everything through host memory, hw5.cu:406-413, 482-486); this module is the
+scale-out capability the reference lacks, targeting N = 1M bodies on a pod
+slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _partial_accel(qi, qj, gmj, eps: float):
+    """Forces on local rows qi from one j-tile. qi: (ni, 3), qj: (nj, 3),
+    gmj: (nj,) = G*m_eff. Self-pairs contribute exactly zero (softened
+    denominator, zero numerator)."""
+    dq = qj[None, :, :] - qi[:, None, :]          # (ni, nj, 3)
+    d2 = (dq * dq).sum(-1) + eps * eps
+    inv = lax.rsqrt(d2)
+    w = gmj[None, :] * (inv * inv * inv)          # (ni, nj)
+    return (w[..., None] * dq).sum(1)             # (ni, 3)
+
+
+def ring_pairwise_accel(q_local, gm_local, *, axis_name: str, eps: float):
+    """All-pairs accelerations for this shard's bodies, rotating j-tiles
+    around the `axis_name` ring. Call inside shard_map."""
+    nshards = lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+
+    def body(_, carry):
+        a, qj, gmj = carry
+        a = a + _partial_accel(q_local, qj, gmj, eps)
+        qj = lax.ppermute(qj, axis_name, perm)
+        gmj = lax.ppermute(gmj, axis_name, perm)
+        return a, qj, gmj
+
+    a0 = jnp.zeros_like(q_local)
+    a, _, _ = lax.fori_loop(0, nshards, body, (a0, q_local, gm_local),
+                            unroll=True)
+    return a
+
+
+def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
+                      batch_axes: tuple = (), G: float, eps: float,
+                      dt: float):
+    """Build a jitted sharded step: (q, v, m_eff) -> (q, v).
+
+    q, v: (*batch, n, 3) sharded over `batch_axes` + bodies over `body_axis`;
+    m_eff: (*batch, n) likewise. The returned function is the "training
+    step" of this framework: one fused force+integrate update with ring
+    collectives over ICI.
+    """
+    in_spec = P(*batch_axes, body_axis)
+    state_spec = P(*batch_axes, body_axis, None)
+
+    def local_step(q, v, m_eff):
+        # q, v: (*b, n_local, 3); m_eff: (*b, n_local)
+        def one(qb, vb, mb):
+            a = ring_pairwise_accel(qb, G * mb, axis_name=body_axis, eps=eps)
+            vb = vb + a * dt
+            qb = qb + vb * dt
+            return qb, vb
+
+        for _ in batch_axes:
+            one = jax.vmap(one)
+        return one(q, v, m_eff)
+
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_spec, state_spec, in_spec),
+        out_specs=(state_spec, state_spec),
+    )
+    return jax.jit(step)
+
+
+def simulate_sharded(q, v, m, n_steps: int, mesh: Mesh, *,
+                     body_axis: str = "body", G: float = 6.674e-11,
+                     eps: float = 1e-3, dt: float = 60.0):
+    """March a (possibly huge) body-sharded system n_steps steps entirely
+    on-device: the scan lives inside one shard_map program, so each step is
+    local compute + ring ppermute with no host involvement."""
+    state_spec = P(body_axis, None)
+    m_spec = P(body_axis)
+
+    def run(q, v, m):
+        gm = G * m
+
+        def body(carry, _):
+            q, v = carry
+            a = ring_pairwise_accel(q, gm, axis_name=body_axis, eps=eps)
+            v = v + a * dt
+            q = q + v * dt
+            return (q, v), None
+
+        (q, v), _ = lax.scan(body, (q, v), None, length=n_steps)
+        return q, v
+
+    fn = jax.shard_map(run, mesh=mesh, in_specs=(state_spec, state_spec,
+                                                 m_spec),
+                       out_specs=(state_spec, state_spec))
+    sharding = NamedSharding(mesh, state_spec)
+    q = jax.device_put(q, sharding)
+    v = jax.device_put(v, sharding)
+    m = jax.device_put(m, NamedSharding(mesh, m_spec))
+    return jax.jit(fn, static_argnums=())(q, v, m)
