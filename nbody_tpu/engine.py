@@ -97,6 +97,12 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     elif precision != "f64":
         raise ValueError(f"unknown precision: {precision}")
 
+    if platform != "cpu":
+        # Pad to size buckets: TPU tile alignment + amortized compile
+        # signatures (semantics-exact, see utils/padding.py).
+        from .utils.padding import pad_scene
+        run_scene = pad_scene(run_scene)
+
     fst = oscillation_table(cfg)
     p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
                           dtype=dtype, fast=fast)

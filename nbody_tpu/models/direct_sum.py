@@ -150,27 +150,45 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
-                     "dist3_mode", "planet", "asteroid", "fast"),
+                     "dist3_mode", "planet", "asteroid", "fast",
+                     "chunk_steps"),
 )
-def _p3_scan(q_snaps, v_snaps, arrivals, m0_scen, m_half_scen, fst, *,
+def _p3_scan(q_snaps, v_snaps, arrivals, eligible, m0_scen, m_half_scen,
+             fst, *,
              n_steps, dt, eps, G, planet_radius, dist3_mode, planet,
-             asteroid, fast=False):
+             asteroid, fast=False, chunk_steps=2000):
     """Batched resumed simulations: scenario k is frozen until its arrival
     step, then integrates with device k's mass zeroed (destruction takes
-    effect from the arrival step onward, hw5.cu:299-308)."""
+    effect from the arrival step onward, hw5.cu:299-308).
+
+    Structured as a while_loop over fixed-size step chunks (the on-device
+    analog of the reference's n_sync_steps host readback, hw5.cu:503-507):
+      * skip-ahead — chunks entirely before the earliest eligible arrival
+        are skipped exactly (every scenario is frozen there);
+      * early exit — once every eligible scenario's planet is hit, nothing
+        downstream can change the answer (the batched replacement for the
+        reference's PROBLEM3_BREAK dominance pruning, hw5.cu:490-493).
+    Both transformations are bit-exact: they only skip iterations that are
+    provably identity on the carry.
+    """
     r2 = planet_radius * planet_radius
+    cs = int(chunk_steps)
+    n_chunks = (n_steps + cs - 1) // cs
 
     # Check at t == arrival with the snapshot state (missile_cost_gpu's hit
     # test runs at the resume step before any update, hw5.cu:292-298).
     hit0 = _sq_dist(q_snaps[:, planet], q_snaps[:, asteroid]) < r2
 
-    steps = jnp.arange(1, n_steps + 1, dtype=jnp.int32)
-    xs = (steps, fst[1:n_steps + 1])
+    # earliest step at which anything can move:
+    first_t = jnp.min(jnp.where(eligible, arrivals, jnp.int32(n_steps))) + 1
+    start_chunk = jnp.maximum((first_t - 1) // cs, 0).astype(jnp.int32)
 
-    def body(carry, x):
+    def step_body(t, carry):
         q, v, hit_flag = carry
-        t, fst_t = x
-        active = (t > arrivals)                               # (D,)
+        t = t.astype(jnp.int32)
+        in_range = t <= jnp.int32(n_steps)
+        active = (t > arrivals) & in_range                    # (D,)
+        fst_t = fst[jnp.minimum(t, jnp.int32(n_steps))]
         m_eff = m0_scen + m_half_scen * fst_t                 # (D, n)
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast)
@@ -179,10 +197,22 @@ def _p3_scan(q_snaps, v_snaps, arrivals, m0_scen, m_half_scen, fst, *,
         v = jnp.where(sel, v2, v)
         d2_pa = _sq_dist(q[:, planet], q[:, asteroid])
         hit_flag = hit_flag | (active & (d2_pa < r2))
-        return (q, v, hit_flag), None
+        return q, v, hit_flag
 
-    init = (q_snaps, v_snaps, hit0)
-    (_, _, hit_flag), _ = lax.scan(body, init, xs)
+    def chunk_body(carry):
+        c, q, v, hit_flag = carry
+        t0 = c * cs + 1
+        q, v, hit_flag = lax.fori_loop(t0, t0 + cs, step_body,
+                                       (q, v, hit_flag))
+        return c + 1, q, v, hit_flag
+
+    def chunk_cond(carry):
+        c, _, _, hit_flag = carry
+        undecided = eligible & ~hit_flag
+        return (c < n_chunks) & undecided.any()
+
+    init = (start_chunk, q_snaps, v_snaps, hit0)
+    _, _, _, hit_flag = lax.while_loop(chunk_cond, chunk_body, init)
     return hit_flag
 
 
@@ -212,16 +242,22 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     m_half_scen = 0.5 * m0_scen * device_mask[None, :]
 
     put = functools.partial(jax.device_put, device=device)
+    # Freeze ineligible scenarios entirely (arrival pinned past the end) so
+    # they are never integrated and never block the early exit; selection
+    # masks them out regardless.
+    arr_masked = np.where(eligible, p12.arrivals, cfg.n_steps).astype(np.int32)
     hit_flag = _p3_scan(
         put(jnp.asarray(p12.q_snaps, dtype=dtype)),
         put(jnp.asarray(p12.v_snaps, dtype=dtype)),
-        put(jnp.asarray(p12.arrivals, dtype=jnp.int32)),
+        put(jnp.asarray(arr_masked)),
+        put(jnp.asarray(eligible)),
         put(jnp.asarray(m0_scen, dtype=dtype)),
         put(jnp.asarray(m_half_scen, dtype=dtype)),
         put(jnp.asarray(fst, dtype=dtype)),
         n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
         planet_radius=cfg.planet_radius, dist3_mode=cfg.dist3_mode,
         planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+        chunk_steps=cfg.chunk_steps,
     )
     saved = eligible & ~np.asarray(hit_flag)
     return saved

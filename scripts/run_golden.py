@@ -1,0 +1,87 @@
+"""Golden testcase harness: run the engine across testcases and compare
+against the golden .out files.
+
+Usage:
+  python scripts/run_golden.py --precision exact|f64|dd|f32 \
+      [--cases b20,b30,...] [--out results.json]
+
+Comparison contract per case:
+  min_dist    — relative error vs golden (byte-equality implies 0)
+  hit_step    — exact integer match
+  p3 line     — device id exact + cost relative error
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTCASE_DIR = "/root/reference/testcases"
+ALL_CASES = ["b20", "b30", "b40", "b50", "b60", "b70", "b80", "b90",
+             "b100", "b200", "b512", "b1024"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", default="f64",
+                    choices=["exact", "f64", "dd", "f32"])
+    ap.add_argument("--cases", default=",".join(ALL_CASES))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from nbody_tpu import read_input, solve_scene, format_output
+    from nbody_tpu.io import parse_output
+
+    results = []
+    for case in args.cases.split(","):
+        in_path = os.path.join(TESTCASE_DIR, f"{case}.in")
+        gold_path = os.path.join(TESTCASE_DIR, f"{case}.out")
+        scene = read_input(in_path)
+        with open(gold_path) as f:
+            gold_text = f.read()
+        g_min, g_hit, g_dev, g_cost = parse_output(gold_text)
+
+        t0 = time.perf_counter()
+        ans = solve_scene(scene, precision=args.precision)
+        wall = time.perf_counter() - t0
+
+        ours = format_output(*ans.as_tuple())
+        byte_equal = (ours == gold_text)
+        rel_min = abs(ans.min_dist - g_min) / max(abs(g_min), 1e-300)
+        rel_cost = (abs(ans.missile_cost - g_cost) / max(abs(g_cost), 1.0))
+        rec = {
+            "case": case, "n": scene.n, "precision": args.precision,
+            "wall_s": round(wall, 2),
+            "byte_equal": byte_equal,
+            "min_dist_rel_err": rel_min,
+            "hit_step_ours": ans.hit_time_step, "hit_step_gold": g_hit,
+            "hit_step_match": ans.hit_time_step == g_hit,
+            "p3_dev_ours": ans.gravity_device_id, "p3_dev_gold": g_dev,
+            "p3_dev_match": ans.gravity_device_id == g_dev,
+            "p3_cost_rel_err": rel_cost,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    n_byte = sum(r["byte_equal"] for r in results)
+    n_hit = sum(r["hit_step_match"] for r in results)
+    n_dev = sum(r["p3_dev_match"] for r in results)
+    summary = {
+        "precision": args.precision, "cases": len(results),
+        "byte_equal": n_byte, "hit_step_match": n_hit,
+        "p3_dev_match": n_dev,
+        "max_min_dist_rel_err": max(r["min_dist_rel_err"] for r in results),
+    }
+    print("SUMMARY " + json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"results": results, "summary": summary}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

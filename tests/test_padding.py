@@ -1,0 +1,45 @@
+"""Padding must be semantics-exact: identical answers, bit for bit."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from nbody_tpu import SimConfig, read_input
+from nbody_tpu.models.direct_sum import run_problems_12
+from nbody_tpu.physics import oscillation_table
+from nbody_tpu.utils.padding import pad_scene, bucket_size
+
+TESTCASE_DIR = "/root/reference/testcases"
+
+
+def test_bucket_size():
+    assert bucket_size(20) == 128
+    assert bucket_size(128) == 128
+    assert bucket_size(129) == 256
+    assert bucket_size(1024) == 1024
+    assert bucket_size(5000) == 6144
+
+
+def test_padded_scene_structure():
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    padded = pad_scene(scene)
+    assert padded.n == 128
+    assert padded.device_cnt == 4
+    assert list(padded.device_idx[:scene.device_cnt]) == list(scene.device_idx)
+    assert (padded.m[scene.n:] == 0).all()
+    # dummy device slots point at pad bodies
+    assert (padded.device_idx[scene.device_cnt:] >= scene.n).all()
+
+
+def test_padding_bitexact_answers():
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    cfg = dataclasses.replace(SimConfig(), n_steps=120)
+    fst = oscillation_table(cfg)
+    a = run_problems_12(scene, fst, cfg)
+    b = run_problems_12(pad_scene(scene), fst, cfg)
+    assert a.min_dist == b.min_dist           # bit-exact
+    assert a.hit_time_step == b.hit_time_step
+    D = scene.device_cnt
+    assert list(a.arrivals) == list(b.arrivals[:D])
+    np.testing.assert_array_equal(a.q_snaps, b.q_snaps[:D, :scene.n])
