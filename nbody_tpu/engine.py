@@ -91,9 +91,18 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         rescale = compute_rescale(scene)
         run_scene = rescale.apply_scene(scene)
         run_cfg = rescale.apply_cfg(cfg)
-        fast = True
         if precision == "f32":
             dtype = np.float32
+            fast = True
+        else:
+            # dd: keep the division form (measured ~4e-16 per-step error on
+            # this TPU's double-double emulation vs ~5e-15 for the rsqrt
+            # fast form) with the cheap dsqrt dist3 (pow is emulated via
+            # exp/log in dd). Even so, per-step error is ~2-10x IEEE f64's;
+            # over 200001 steps of these near-threshold scenarios that is
+            # enough to flip hit/no-hit answers — dd is a trajectory-grade
+            # mode, not an answer-grade mode (see README).
+            run_cfg = dataclasses.replace(run_cfg, dist3_mode="dsqrt")
     elif precision != "f64":
         raise ValueError(f"unknown precision: {precision}")
 

@@ -1,0 +1,129 @@
+"""General simulation API: march a scene for N steps on any backend.
+
+The reference binary only answers the three scenario questions; a framework
+user also wants the underlying capability — "integrate this system" — with
+device oscillation on/off, checkpoint/resume, and backend/precision choice.
+
+  final = simulate(scene, n_steps=..., precision="f32", every=...,
+                   on_chunk=callback)
+
+The loop is chunked: each chunk is one on-device scan (zero host traffic);
+between chunks the host may checkpoint or log. Chunk size trades host
+round-trips against checkpoint granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .config import SimConfig, DEFAULT_CONFIG
+from .io import Scene
+from .physics import oscillation_table
+from . import backend
+from .utils.rescale import compute_rescale, IDENTITY
+
+
+@dataclasses.dataclass
+class SimState:
+    step: int
+    q: np.ndarray
+    v: np.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("n_sub", "dt", "eps", "G",
+                                             "fast", "dist3_mode",
+                                             "use_pallas"))
+def _chunk_scan(q, v, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
+                dist3_mode, use_pallas):
+    from .ops.integrate import symplectic_euler_step
+    from .ops.pallas_forces import pallas_accel
+
+    def body(carry, fst_t):
+        q, v = carry
+        m_eff = m0 + m_half * fst_t
+        if use_pallas:
+            a = pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps)
+            v = v + a * dt
+            q = q + v * dt
+        else:
+            q, v = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
+                                         dist3_mode=dist3_mode, fast=fast)
+        return (q, v), None
+
+    (q, v), _ = lax.scan(body, (q, v), fst_chunk, length=n_sub)
+    return q, v
+
+
+def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
+             n_steps: Optional[int] = None, precision: str = "f64",
+             platform: Optional[str] = None, devices_on: bool = True,
+             chunk: int = 10000,
+             on_chunk: Optional[Callable[[SimState], None]] = None
+             ) -> SimState:
+    """March the scene and return the final state (original units).
+
+    `on_chunk` is called with a host-side SimState after every chunk
+    (checkpointing hook — pair with utils.checkpoint.CheckpointPolicy).
+    """
+    if n_steps is None:
+        n_steps = cfg.n_steps
+    if platform is None:
+        platform = backend.default_platform_for_precision(precision)
+    device = backend.device_for(platform)
+
+    rescale = IDENTITY
+    run_scene, run_cfg = scene, cfg
+    dtype = np.float64
+    fast = False
+    if precision in ("dd", "f32"):
+        rescale = compute_rescale(scene)
+        run_scene = rescale.apply_scene(scene)
+        run_cfg = rescale.apply_cfg(cfg)
+        fast = True
+        if precision == "f32":
+            dtype = np.float32
+    elif precision != "f64":
+        raise ValueError(f"unknown precision for simulate: {precision}")
+
+    use_pallas = (precision == "f32" and device.platform != "cpu")
+    if use_pallas:
+        from .utils.padding import pad_scene
+        run_scene = pad_scene(run_scene, d_target=run_scene.device_cnt)
+
+    fst = oscillation_table(run_cfg, n_steps)
+    mask = run_scene.device_mask()
+    m0 = run_scene.m * (1.0 if devices_on else (1.0 - mask))
+    m_half = 0.5 * m0 * mask
+
+    put = functools.partial(jax.device_put, device=device)
+    q = put(jnp.asarray(run_scene.q, dtype=dtype))
+    v = put(jnp.asarray(run_scene.v, dtype=dtype))
+    m0j = put(jnp.asarray(m0, dtype=dtype))
+    m_halfj = put(jnp.asarray(m_half, dtype=dtype))
+
+    inv = 1.0 / rescale.length_scale
+    step = 0
+    while step < n_steps:
+        n_sub = min(chunk, n_steps - step)
+        fst_chunk = put(jnp.asarray(fst[step + 1: step + 1 + n_sub],
+                                    dtype=dtype))
+        q, v = _chunk_scan(q, v, m0j, m_halfj, fst_chunk, n_sub=n_sub,
+                           dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
+                           fast=fast, dist3_mode=run_cfg.dist3_mode,
+                           use_pallas=use_pallas)
+        step += n_sub
+        if on_chunk is not None:
+            st = SimState(step=step,
+                          q=np.asarray(q)[:scene.n] * inv,
+                          v=np.asarray(v)[:scene.n] * inv)
+            on_chunk(st)
+
+    return SimState(step=step, q=np.asarray(q)[:scene.n] * inv,
+                    v=np.asarray(v)[:scene.n] * inv)

@@ -47,16 +47,18 @@ def pad_scene(scene: Scene, n_target: int | None = None,
         return scene
     if n_pad < 0:
         raise ValueError(f"n_target {n_target} < scene.n {scene.n}")
-    if n_pad == 0 and d_pad > 0:
-        raise ValueError("cannot pad device slots without pad bodies")
 
     q = np.concatenate([scene.q, np.zeros((n_pad, 3))], axis=0)
     v = np.concatenate([scene.v, np.zeros((n_pad, 3))], axis=0)
     m = np.concatenate([scene.m, np.zeros(n_pad)], axis=0)
     types = list(scene.types) + ["pad"] * n_pad
-    # real devices first (selection reads rows [0, device_cnt)), dummies
-    # point at pad bodies
-    dummy_targets = [scene.n + (i % n_pad) for i in range(d_pad)]
+    # Real devices first (selection reads rows [0, device_cnt)). Dummy slots
+    # point at pad bodies when available; otherwise they duplicate the first
+    # real device — a redundant scenario row that selection masks out.
+    if n_pad > 0:
+        dummy_targets = [scene.n + (i % n_pad) for i in range(d_pad)]
+    else:
+        dummy_targets = [int(scene.device_idx[0])] * d_pad
     device_idx = np.concatenate(
         [scene.device_idx, np.asarray(dummy_targets, dtype=np.int64)])
     return dataclasses.replace(

@@ -61,18 +61,39 @@ class Rescale:
         return x * math.ldexp(1.0, -self.qe)
 
 
-def compute_rescale(scene: Scene, target_q_exp: int = 20,
+def compute_rescale(scene: Scene, eps: float = 1e-3,
+                    growth_margin: float = 16.0,
                     target_m_exp: int = 0) -> Rescale:
-    """Pick exponent shifts bringing max |position| to ~2^target_q_exp and
-    max mass to ~2^target_m_exp.
+    """Pick exponent shifts keeping every force-kernel intermediate within
+    float32 range (which is also the TPU double-double f64 range).
 
-    target_q_exp=20 keeps squared distances <~2^43 (f32-safe) while keeping
-    eps'^2 above the f32 normal floor for scenes up to |q| ~ 1e21.
+    Constraints on the length exponent qe (with the rsqrt fast path,
+    inv_d^3 = (d2)^{-3/2} appears explicitly):
+      * self/coincident pairs: d2' = eps'^2, so eps'^{-3} <= f32_max
+        => lower bound on qe;
+      * far pairs: dist3' = (span'^2 * 3)^{3/2} <= f32_max, with a
+        `growth_margin` factor for orbital expansion over the run
+        => upper bound on qe.
+    Raises if the window is empty (the scene's dynamic range exceeds what
+    a float32-range pipeline can represent).
     """
+    f32_max = 3.4e38
     qmax = float(np.max(np.abs(scene.q)))
-    # Velocities over the run can grow positions; headroom is ample at 2^20.
     mmax = float(np.max(scene.m))
-    qe = target_q_exp - (math.frexp(qmax)[1] if qmax > 0 else 0)
+    if qmax == 0.0:
+        return Rescale(qe=0, me=0)
+
+    # eps' >= f32_max^{-1/3}
+    eps_min = f32_max ** (-1.0 / 3.0)
+    qe_min = math.ceil(math.log2(eps_min / eps))
+    # sqrt(3) * (2 * margin * qmax * 2^qe) <= f32_max^{1/3}
+    span_lim = f32_max ** (1.0 / 3.0) / math.sqrt(3.0)
+    qe_max = math.floor(math.log2(span_lim / (2.0 * growth_margin * qmax)))
+    if qe_min > qe_max:
+        raise ValueError(
+            f"scene dynamic range too large for f32-range rescaling: "
+            f"qe window [{qe_min}, {qe_max}] empty (qmax={qmax}, eps={eps})")
+    qe = (qe_min + qe_max) // 2
     me = target_m_exp - (math.frexp(mmax)[1] if mmax > 0 else 0)
     return Rescale(qe=qe, me=me)
 

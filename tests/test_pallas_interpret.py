@@ -1,0 +1,68 @@
+"""Pallas force-kernel logic, validated in interpreter mode on CPU.
+
+(The compiled-kernel path is exercised on real TPU by bench.py and the dd/f32
+golden sweeps; here the same kernel body runs interpreted so the CPU test
+suite covers grid/accumulation semantics.)
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody_tpu.ops.pallas_forces import _accel_kernel
+from nbody_tpu.ops.forces import pairwise_accel_fast
+
+
+def _interpret_accel(q, gm, eps, tile_i, tile_j):
+    n = q.shape[0]
+    kernel = functools.partial(_accel_kernel, eps2=eps * eps)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(n // tile_i, n // tile_j),
+            in_specs=[
+                pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, tile_j), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 3), q.dtype),
+            interpret=True,
+        )(q, q.T, gm[None, :])
+
+
+@pytest.mark.parametrize("tile_i,tile_j", [(32, 64), (64, 32), (128, 128)])
+def test_kernel_matches_xla(tile_i, tile_j):
+    n = 128
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    m = jnp.asarray(np.abs(rs.randn(n)) * 1e8, jnp.float32)
+    G, eps = 6.674e-11, 1e-3
+    a = _interpret_accel(q, G * m, eps, tile_i, tile_j)
+    a_ref = pairwise_accel_fast(q, m, G=G, eps=eps)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=2e-5, atol=float(jnp.abs(a_ref).max()) * 1e-6)
+
+
+def test_zero_mass_padding_contributes_nothing():
+    n = 64
+    rs = np.random.RandomState(1)
+    q = rs.randn(n, 3).astype(np.float32)
+    gm = (np.abs(rs.randn(n)) * 1e-3).astype(np.float32)
+    gm[n // 2:] = 0.0            # padded half
+    q[n // 2:] = 0.0             # coincident pad bodies at the origin
+    a = _interpret_accel(jnp.asarray(q), jnp.asarray(gm), 1e-3, 32, 32)
+    a2 = _interpret_accel(jnp.asarray(q[:n // 2]),
+                          jnp.asarray(gm[:n // 2]), 1e-3, 32, 32)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a)[:n // 2], np.asarray(a2))

@@ -1,0 +1,58 @@
+import dataclasses
+import os
+
+import numpy as np
+
+from nbody_tpu import SimConfig, read_input
+from nbody_tpu.simulate import simulate
+from nbody_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+from oracle_np import run_steps
+
+TESTCASE_DIR = "/root/reference/testcases"
+
+
+def test_simulate_matches_oracle():
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    out = simulate(scene, n_steps=40, chunk=16)
+    isdev = np.zeros(scene.n, bool)
+    isdev[scene.device_idx] = True
+    q, v = scene.q.copy(), scene.v.copy()
+    for s in range(40):
+        q, v, _ = run_steps(q, v, scene.m, isdev, 1, devices_on=True,
+                            start_step=s)
+    np.testing.assert_allclose(out.q, q, rtol=1e-12)
+    assert out.step == 40
+
+
+def test_simulate_chunking_invariant():
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    a = simulate(scene, n_steps=50, chunk=7)
+    b = simulate(scene, n_steps=50, chunk=50)
+    np.testing.assert_array_equal(a.q, b.q)  # bit-exact across chunkings
+    np.testing.assert_array_equal(a.v, b.v)
+
+
+def test_simulate_checkpoint_resume(tmp_path):
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    states = []
+    simulate(scene, n_steps=30, chunk=10,
+             on_chunk=lambda st: states.append(st))
+    assert [s.step for s in states] == [10, 20, 30]
+
+    # persist the 20-step state, resume for 10 more, compare to one-shot
+    mid = states[1]
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, step=mid.step, q=mid.q, v=mid.v)
+    step, q, v, _, _ = load_checkpoint(p)
+    resumed = dataclasses.replace(scene, q=q, v=v)
+    # NB: resuming must continue the global step index (oscillating device
+    # masses depend on absolute time), so we march with a shifted table via
+    # the oracle for the equivalence check instead:
+    isdev = np.zeros(scene.n, bool)
+    isdev[scene.device_idx] = True
+    qq, vv = q.copy(), v.copy()
+    for s in range(step, 30):
+        qq, vv, _ = run_steps(qq, vv, scene.m, isdev, 1, devices_on=True,
+                              start_step=s)
+    np.testing.assert_allclose(states[2].q, qq, rtol=1e-12)
