@@ -47,13 +47,30 @@ class Scene:
         return mask
 
 
+class SceneFormatError(ValueError):
+    """Malformed testcase input. (The reference performs no input
+    validation at all, and its release build even compiles out CUDA error
+    checks — hw5.cu:46-47; this engine fails loudly.)"""
+
+
 def read_input(path: str) -> Scene:
     with open(path, "r") as f:
         tokens = f.read().split()
+    if len(tokens) < 3:
+        raise SceneFormatError(f"{path}: missing header")
     it = iter(tokens)
     n = int(next(it))
     planet = int(next(it))
     asteroid = int(next(it))
+    if n <= 0:
+        raise SceneFormatError(f"{path}: body count {n} must be positive")
+    if len(tokens) != 3 + 8 * n:
+        raise SceneFormatError(
+            f"{path}: expected {3 + 8 * n} tokens for n={n}, got {len(tokens)}")
+    if not (0 <= planet < n and 0 <= asteroid < n):
+        raise SceneFormatError(
+            f"{path}: planet/asteroid indices ({planet}, {asteroid}) out of "
+            f"range for n={n}")
     q = np.empty((n, 3), dtype=np.float64)
     v = np.empty((n, 3), dtype=np.float64)
     m = np.empty(n, dtype=np.float64)
@@ -71,6 +88,11 @@ def read_input(path: str) -> Scene:
         types.append(t)
         if t == "device":
             device_idx.append(i)
+    if not (np.isfinite(q).all() and np.isfinite(v).all()
+            and np.isfinite(m).all()):
+        raise SceneFormatError(f"{path}: non-finite body values")
+    if (m < 0).any():
+        raise SceneFormatError(f"{path}: negative masses")
     return Scene(
         n=n,
         planet=planet,
