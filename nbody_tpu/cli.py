@@ -53,28 +53,34 @@ def main(argv=None) -> int:
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
 
+    from .utils.profiling import PhaseTimers, pair_interactions
+
+    timers = PhaseTimers()
     t0 = time.perf_counter()
-    scene = read_input(args.input)
+    with timers.phase("read_input"):
+        scene = read_input(args.input)
     ans = solve_scene(scene, cfg, precision=args.precision,
-                      platform=args.platform)
-    write_output(args.output, *ans.as_tuple())
+                      platform=args.platform, timers=timers)
+    with timers.phase("write_output"):
+        write_output(args.output, *ans.as_tuple())
     elapsed = time.perf_counter() - t0
 
     if args.stats:
         # Structured observability (the reference only has DEBUG-gated
         # printf timers, hw5.cu:25-29).
         n_sims = 2 + (scene.device_cnt if ans.hit_time_step != -2 else 0)
-        pairs = scene.n * scene.n * (cfg.n_steps + 1) * n_sims
-        print(json.dumps({
+        pairs = pair_interactions(scene.n, cfg.n_steps, n_sims)
+        timers.report(stream=sys.stderr, **{
             "n": scene.n, "device_cnt": scene.device_cnt,
-            "n_steps": cfg.n_steps, "wall_s": round(elapsed, 3),
+            "n_steps": cfg.n_steps, "precision": args.precision,
+            "wall_s": round(elapsed, 3),
             "pair_interactions": pairs,
             "pairs_per_sec": round(pairs / elapsed, 1),
             "answers": {"min_dist": ans.min_dist,
                         "hit_time_step": ans.hit_time_step,
                         "gravity_device_id": ans.gravity_device_id,
                         "missile_cost": ans.missile_cost},
-        }), file=sys.stderr)
+        })
     return 0
 
 

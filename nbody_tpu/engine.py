@@ -55,8 +55,8 @@ def select_winner(scene: Scene, arrivals: np.ndarray, saved: np.ndarray,
 
 
 def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
-                precision: str = "f64",
-                platform: str | None = None) -> Answers:
+                precision: str = "f64", platform: str | None = None,
+                timers=None) -> Answers:
     """Answer all three problems for a scene (hw5.cu:532-615 end to end).
 
     precision:
@@ -95,11 +95,11 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
             dtype = np.float32
             fast = True
         else:
-            # dd: keep the division form (measured ~4e-16 per-step error on
-            # this TPU's double-double emulation vs ~5e-15 for the rsqrt
-            # fast form) with the cheap dsqrt dist3 (pow is emulated via
-            # exp/log in dd). Even so, per-step error is ~2-10x IEEE f64's;
-            # over 200001 steps of these near-threshold scenarios that is
+            # dd: division form with the cheap dsqrt dist3 (pow would be
+            # emulated via exp/log in dd). NB measured on this TPU: XLA
+            # canonicalizes the division and rsqrt forms to bit-identical
+            # dd code; per-step error is ~1e-15 (vs IEEE f64's ~1e-16),
+            # which over 200001 steps of these near-threshold scenarios is
             # enough to flip hit/no-hit answers — dd is a trajectory-grade
             # mode, not an answer-grade mode (see README).
             run_cfg = dataclasses.replace(run_cfg, dist3_mode="dsqrt")
@@ -112,14 +112,20 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         from .utils.padding import pad_scene
         run_scene = pad_scene(run_scene)
 
+    if timers is None:
+        from .utils.profiling import PhaseTimers
+        timers = PhaseTimers()
+
     fst = oscillation_table(cfg)
-    p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
-                          dtype=dtype, fast=fast)
+    with timers.phase("problem_1_2"):
+        p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
+                              dtype=dtype, fast=fast)
 
     gravity_device_id, missile_cost = -1, 0.0
     if p12.hit_time_step != -2 and scene.device_cnt > 0:
-        saved = run_problem_3(run_scene, p12, fst, run_cfg, device=device,
-                              dtype=dtype, fast=fast)
+        with timers.phase("problem_3"):
+            saved = run_problem_3(run_scene, p12, fst, run_cfg,
+                                  device=device, dtype=dtype, fast=fast)
         gravity_device_id, missile_cost = select_winner(
             scene, p12.arrivals, saved, cfg)
 

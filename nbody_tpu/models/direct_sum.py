@@ -1,6 +1,6 @@
 """Direct-summation N-body model: the flagship simulator.
 
-Replaces the reference's scenario runners with two on-device scans:
+Replaces the reference's scenario runners with batched on-device loops:
 
   * `run_problems_12` — the TPU analog of `t_problem_12` for BOTH GPUs at
     once (hw5.cu:322-436): Problem 1 (devices off) and Problem 2 (devices on)
@@ -9,14 +9,21 @@ Replaces the reference's scenario runners with two on-device scans:
     <<<1,1>>> kernel calc_sq_min_dist_gpu, hw5.cu:241-252), the first hit
     step (calc_hit_time_step_gpu, hw5.cu:254-263), and per-device missile
     arrival steps + full (q, v) state snapshots (problem3_preprocess_gpu,
-    hw5.cu:265-287). Zero host round-trips for all 200001 steps — the
-    reference needs a D2H sync every 2000 steps (hw5.cu:398-402).
+    hw5.cu:265-287).
 
   * `run_problem_3` — the TPU analog of the work-stealing `t_problem_3`
     (hw5.cu:438-530): all device-destruction scenarios run as ONE batched
-    scan over the global step index, each scenario masked inactive until its
-    missile-arrival step. Batching replaces the mutex+shared-counter
-    scheduler and makes the PROBLEM3_BREAK dominance pruning moot.
+    chunked while_loop, each scenario masked inactive until its
+    missile-arrival step, with exact skip-ahead to the earliest arrival and
+    early exit once every eligible scenario is decided. Batching replaces
+    the mutex+shared-counter scheduler and the PROBLEM3_BREAK pruning.
+
+Both drivers split the 200001 steps into host-level chunks of device work
+(bit-exact: the carry passes through unchanged), because (a) it bounds
+single-kernel execution time (the TPU harness kills executions beyond a few
+minutes), and (b) it gives the host checkpoint/abort points. Within a chunk
+there are zero host round-trips; the reference needs a D2H sync every 2000
+steps (hw5.cu:398-402).
 
 All fp64 comparisons/updates follow the reference's exact semantics: strict
 `<` for min/hit/arrival, step-0 inclusion for the min distance and hit check,
@@ -36,6 +43,19 @@ from jax import lax
 from ..config import SimConfig
 from ..ops.integrate import symplectic_euler_step
 
+# Rough device-seconds per (pair-interaction * scenario) on the emulated-f64
+# TPU path; used only to size host chunks (~60 s of device work per call).
+_DD_SEC_PER_PAIR_STEP = 1.4e-9
+_TARGET_CHUNK_SEC = 60.0
+
+
+def _auto_chunk_steps(n: int, batch: int, n_steps: int, device) -> int:
+    if device is None or getattr(device, "platform", "cpu") == "cpu":
+        return n_steps  # CPU XLA has no execution watchdog
+    est = _DD_SEC_PER_PAIR_STEP * batch * n * n
+    chunk = int(_TARGET_CHUNK_SEC / max(est, 1e-12))
+    return max(2000, min(n_steps, chunk))
+
 
 def _sq_dist(qa, qb):
     """Squared distance with the serial spec's fp64 op order
@@ -48,7 +68,7 @@ def _sq_dist(qa, qb):
 class P12Result:
     min_dist: float            # Problem 1 answer
     hit_time_step: int         # Problem 2 answer (-2 if never)
-    arrivals: np.ndarray       # (D,) int64 missile-arrival step per device, -2 if never
+    arrivals: np.ndarray       # (D,) missile-arrival step per device, -2 if never
     q_snaps: np.ndarray        # (D, n, 3) state snapshot at each arrival
     v_snaps: np.ndarray        # (D, n, 3)
 
@@ -59,87 +79,116 @@ class P12Result:
                      "missile_speed", "dist3_mode", "planet", "asteroid",
                      "fast"),
 )
-def _p12_scan(q0, v0, m0, device_mask, dev_idx, fst, *, n_steps, dt, eps, G,
-              planet_radius, missile_speed, dist3_mode, planet, asteroid,
-              fast=False):
-    f64 = q0.dtype
-    n = q0.shape[0]
-    D = dev_idx.shape[0]
-
-    # Scenario stack: row 0 = devices off (Problem 1, clear_device_m_gpu
-    # hw5.cu:217-222), row 1 = devices on (Problem 2).
-    q = jnp.stack([q0, q0])                       # (2, n, 3)
-    v = jnp.stack([v0, v0])
-    m0_s = jnp.stack([m0 * (1.0 - device_mask), m0])          # (2, n)
-    m_half = 0.5 * m0_s * device_mask[None, :]                # (2, n) exact
-
+def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
+               fst_chunk, t0, *, n_steps, dt, eps, G, planet_radius,
+               missile_speed, dist3_mode, planet, asteroid, fast=False):
+    """Advance the stacked P1/P2 state over steps (t0, t0+len(fst_chunk)].
+    Steps beyond n_steps are masked to the identity, so a ragged final chunk
+    is bit-exact."""
+    f64 = q.dtype
     r2 = planet_radius * planet_radius
     sdt = missile_speed * dt                                  # 6e7, exact
 
-    # Step-0 checks (loops include step 0: hw5.cu:368/387 run the check
-    # kernels before any update).
-    d2_0 = _sq_dist(q0[planet], q0[asteroid])
-    min_d2 = d2_0
-    hit = jnp.where(d2_0 < r2, jnp.int32(0), jnp.int32(-2))
-    arr = jnp.full((D,), -2, dtype=jnp.int32)
-    q_snap = jnp.zeros((D, n, 3), dtype=f64)
-    v_snap = jnp.zeros((D, n, 3), dtype=f64)
-
-    steps = jnp.arange(1, n_steps + 1, dtype=jnp.int32)
-    xs = (steps, fst[1:n_steps + 1])
+    offs = jnp.arange(1, fst_chunk.shape[0] + 1, dtype=jnp.int32)
+    xs = (t0.astype(jnp.int32) + offs, fst_chunk)
 
     def body(carry, x):
         q, v, min_d2, hit, arr, q_snap, v_snap = carry
         t, fst_t = x
+        in_range = t <= jnp.int32(n_steps)
         m_eff = m0_s + m_half * fst_t
-        q, v = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
-                                     dist3_mode=dist3_mode, fast=fast)
+        q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
+                                       dist3_mode=dist3_mode, fast=fast)
+        q = jnp.where(in_range, q2, q)
+        v = jnp.where(in_range, v2, v)
         # Problem 1: running min on the devices-off scenario.
-        min_d2 = jnp.minimum(min_d2, _sq_dist(q[0, planet], q[0, asteroid]))
+        d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid])
+        min_d2 = jnp.where(in_range, jnp.minimum(min_d2, d2_pa0), min_d2)
         # Problem 3 preprocessing runs before the hit check each step
         # (hw5.cu:396-397); they are independent. Arrival: the expanding
         # missile sphere around the planet's CURRENT position first contains
         # the device (hw5.cu:270-274).
         d2_pd = _sq_dist(q[1, planet], q[1, dev_idx])         # (D,)
         md = sdt * t.astype(f64)
-        arrived = (arr == -2) & (d2_pd < md * md)
+        arrived = (arr == -2) & (d2_pd < md * md) & in_range
         arr = jnp.where(arrived, t, arr)
         sel = arrived[:, None, None]
         q_snap = jnp.where(sel, q[1][None], q_snap)
         v_snap = jnp.where(sel, v[1][None], v_snap)
         # Problem 2: first hit step, guarded like hw5.cu:255.
         d2_pa = _sq_dist(q[1, planet], q[1, asteroid])
-        hit = jnp.where((hit == -2) & (d2_pa < r2), t, hit)
+        hit = jnp.where((hit == -2) & (d2_pa < r2) & in_range, t, hit)
         return (q, v, min_d2, hit, arr, q_snap, v_snap), None
 
-    init = (q, v, min_d2, hit, arr, q_snap, v_snap)
-    (q, v, min_d2, hit, arr, q_snap, v_snap), _ = lax.scan(body, init, xs)
-    return jnp.sqrt(min_d2), hit, arr, q_snap, v_snap
+    carry = (q, v, min_d2, hit, arr, q_snap, v_snap)
+    carry, _ = lax.scan(body, carry, xs)
+    return carry
 
 
 def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
-                    dtype=np.float64, fast: bool = False) -> P12Result:
+                    dtype=np.float64, fast: bool = False,
+                    host_chunk: int | None = None) -> P12Result:
     """Run Problems 1+2 (and Problem-3 preprocessing) for a Scene.
 
     `device` commits the computation to a specific backend (jit follows the
     placement of its committed inputs); `dtype`/`fast` select the numeric
-    path (see backend.py).
+    path (see backend.py). `host_chunk` bounds steps per device call
+    (default: auto-sized; bit-exact regardless).
     """
+    n = scene.n
     put = functools.partial(jax.device_put, device=device)
-    min_dist, hit, arr, q_snap, v_snap = _p12_scan(
-        put(jnp.asarray(scene.q, dtype=dtype)),
-        put(jnp.asarray(scene.v, dtype=dtype)),
-        put(jnp.asarray(scene.m, dtype=dtype)),
-        put(jnp.asarray(scene.device_mask(), dtype=dtype)),
-        put(jnp.asarray(scene.device_idx, dtype=jnp.int32)),
-        put(jnp.asarray(fst, dtype=dtype)),
-        n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-        planet_radius=cfg.planet_radius, missile_speed=cfg.missile_speed,
-        dist3_mode=cfg.dist3_mode, planet=scene.planet,
-        asteroid=scene.asteroid, fast=fast,
+    q0 = np.asarray(scene.q, dtype=dtype)
+    v0 = np.asarray(scene.v, dtype=dtype)
+    m0 = np.asarray(scene.m, dtype=dtype)
+    mask = np.asarray(scene.device_mask(), dtype=dtype)
+    D = scene.device_cnt
+
+    # Scenario stack: row 0 = devices off (Problem 1, clear_device_m_gpu
+    # hw5.cu:217-222), row 1 = devices on (Problem 2).
+    m0_s = put(jnp.asarray(np.stack([m0 * (1.0 - mask), m0])))
+    m_half = put(jnp.asarray(0.5 * np.stack([m0 * (1.0 - mask), m0])
+                             * mask[None, :]))
+    dev_idx = put(jnp.asarray(scene.device_idx, dtype=jnp.int32))
+    fstd = np.asarray(fst, dtype=dtype)
+
+    # Step-0 checks (loops include step 0: hw5.cu:368/387 run the check
+    # kernels before any update).
+    d0 = q0[scene.planet] - q0[scene.asteroid]
+    d2_0 = d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
+    r2 = np.asarray(cfg.planet_radius, dtype=dtype) ** 2
+
+    carry = (
+        put(jnp.asarray(np.stack([q0, q0]))),
+        put(jnp.asarray(np.stack([v0, v0]))),
+        put(jnp.asarray(d2_0)),
+        put(jnp.asarray(np.int32(0 if d2_0 < r2 else -2))),
+        put(jnp.full((D,), -2, dtype=jnp.int32)),
+        put(jnp.zeros((D, n, 3), dtype=dtype)),
+        put(jnp.zeros((D, n, 3), dtype=dtype)),
     )
+
+    if host_chunk is None:
+        host_chunk = _auto_chunk_steps(n, 2, cfg.n_steps, device)
+    t0 = 0
+    while t0 < cfg.n_steps:
+        cs = min(host_chunk, cfg.n_steps - t0)
+        # reuse one compiled signature: always pass host_chunk-long fst
+        # slices (padded at the tail; masked in-kernel)
+        fst_chunk = np.zeros(host_chunk, dtype=dtype)
+        fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
+        carry = _p12_chunk(
+            *carry, m0_s, m_half, dev_idx, put(jnp.asarray(fst_chunk)),
+            put(jnp.asarray(np.int32(t0))),
+            n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+            planet_radius=cfg.planet_radius,
+            missile_speed=cfg.missile_speed, dist3_mode=cfg.dist3_mode,
+            planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+        )
+        t0 += host_chunk
+
+    _, _, min_d2, hit, arr, q_snap, v_snap = carry
     return P12Result(
-        min_dist=float(min_dist),
+        min_dist=float(np.sqrt(np.asarray(min_d2))),
         hit_time_step=int(hit),
         arrivals=np.asarray(arr),
         q_snaps=np.asarray(q_snap),
@@ -153,35 +202,22 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                      "dist3_mode", "planet", "asteroid", "fast",
                      "chunk_steps"),
 )
-def _p3_scan(q_snaps, v_snaps, arrivals, eligible, m0_scen, m_half_scen,
-             fst, *,
-             n_steps, dt, eps, G, planet_radius, dist3_mode, planet,
-             asteroid, fast=False, chunk_steps=2000):
-    """Batched resumed simulations: scenario k is frozen until its arrival
-    step, then integrates with device k's mass zeroed (destruction takes
-    effect from the arrival step onward, hw5.cu:299-308).
+def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
+               m_half_scen, fst, *, n_steps, dt, eps, G, planet_radius,
+               dist3_mode, planet, asteroid, fast=False, chunk_steps=2000):
+    """Run the batched resumed simulations from chunk c_start up to (at
+    most) chunk c_limit: scenario k is frozen until its arrival step, then
+    integrates with device k's mass zeroed (destruction takes effect from
+    the arrival step onward, hw5.cu:299-308).
 
-    Structured as a while_loop over fixed-size step chunks (the on-device
-    analog of the reference's n_sync_steps host readback, hw5.cu:503-507):
-      * skip-ahead — chunks entirely before the earliest eligible arrival
-        are skipped exactly (every scenario is frozen there);
-      * early exit — once every eligible scenario's planet is hit, nothing
-        downstream can change the answer (the batched replacement for the
-        reference's PROBLEM3_BREAK dominance pruning, hw5.cu:490-493).
-    Both transformations are bit-exact: they only skip iterations that are
-    provably identity on the carry.
+    The while_loop exits early once every eligible scenario's planet is hit
+    — nothing downstream can change the answer (the batched replacement for
+    the reference's PROBLEM3_BREAK dominance pruning, hw5.cu:490-493). The
+    early exit and any chunking are bit-exact: they only skip iterations
+    that are provably identity on the carry.
     """
     r2 = planet_radius * planet_radius
     cs = int(chunk_steps)
-    n_chunks = (n_steps + cs - 1) // cs
-
-    # Check at t == arrival with the snapshot state (missile_cost_gpu's hit
-    # test runs at the resume step before any update, hw5.cu:292-298).
-    hit0 = _sq_dist(q_snaps[:, planet], q_snaps[:, asteroid]) < r2
-
-    # earliest step at which anything can move:
-    first_t = jnp.min(jnp.where(eligible, arrivals, jnp.int32(n_steps))) + 1
-    start_chunk = jnp.maximum((first_t - 1) // cs, 0).astype(jnp.int32)
 
     def step_body(t, carry):
         q, v, hit_flag = carry
@@ -209,16 +245,16 @@ def _p3_scan(q_snaps, v_snaps, arrivals, eligible, m0_scen, m_half_scen,
     def chunk_cond(carry):
         c, _, _, hit_flag = carry
         undecided = eligible & ~hit_flag
-        return (c < n_chunks) & undecided.any()
+        return (c < c_limit) & undecided.any()
 
-    init = (start_chunk, q_snaps, v_snaps, hit0)
-    _, _, _, hit_flag = lax.while_loop(chunk_cond, chunk_body, init)
-    return hit_flag
+    init = (c_start.astype(jnp.int32), q, v, hit_flag)
+    c, q, v, hit_flag = lax.while_loop(chunk_cond, chunk_body, init)
+    return c, q, v, hit_flag
 
 
 def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
-                  device=None, dtype=np.float64,
-                  fast: bool = False) -> np.ndarray:
+                  device=None, dtype=np.float64, fast: bool = False,
+                  host_chunks: int | None = None) -> np.ndarray:
     """Return (D,) bool: True if destroying device k saves the planet.
 
     Only scenarios with a valid arrival (!= -2) and arrival <= hit step can
@@ -236,28 +272,59 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
 
     # Per-scenario masses: device k destroyed (mass 0) for the whole resumed
     # suffix — every resumed force evaluation happens at t > arrival.
-    m0_scen = np.tile(scene.m[None, :], (D, 1))
+    m0_scen = np.tile(np.asarray(scene.m, dtype=dtype)[None, :], (D, 1))
     m0_scen[np.arange(D), scene.device_idx] = 0.0
-    device_mask = scene.device_mask()
+    device_mask = np.asarray(scene.device_mask(), dtype=dtype)
     m_half_scen = 0.5 * m0_scen * device_mask[None, :]
 
-    put = functools.partial(jax.device_put, device=device)
+    cs = cfg.chunk_steps
+    n_chunks = (cfg.n_steps + cs - 1) // cs
     # Freeze ineligible scenarios entirely (arrival pinned past the end) so
     # they are never integrated and never block the early exit; selection
     # masks them out regardless.
     arr_masked = np.where(eligible, p12.arrivals, cfg.n_steps).astype(np.int32)
-    hit_flag = _p3_scan(
-        put(jnp.asarray(p12.q_snaps, dtype=dtype)),
-        put(jnp.asarray(p12.v_snaps, dtype=dtype)),
-        put(jnp.asarray(arr_masked)),
-        put(jnp.asarray(eligible)),
-        put(jnp.asarray(m0_scen, dtype=dtype)),
-        put(jnp.asarray(m_half_scen, dtype=dtype)),
-        put(jnp.asarray(fst, dtype=dtype)),
-        n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-        planet_radius=cfg.planet_radius, dist3_mode=cfg.dist3_mode,
-        planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-        chunk_steps=cfg.chunk_steps,
-    )
+    # skip-ahead: chunks before the earliest eligible arrival are identity
+    c_start = int(max(int(arr_masked.min()), 0) // cs)
+
+    # Hit check at t == arrival with the snapshot state (missile_cost_gpu's
+    # test runs at the resume step before any update, hw5.cu:292-298).
+    dsnap = p12.q_snaps[:, scene.planet] - p12.q_snaps[:, scene.asteroid]
+    hit0 = ((dsnap * dsnap).sum(-1) <
+            np.asarray(cfg.planet_radius, dtype=np.float64) ** 2)
+
+    if host_chunks is None:
+        per_chunk_sec = _DD_SEC_PER_PAIR_STEP * D * scene.n * scene.n * cs
+        if device is None or getattr(device, "platform", "cpu") == "cpu":
+            host_chunks = n_chunks
+        else:
+            host_chunks = max(1, int(_TARGET_CHUNK_SEC /
+                                     max(per_chunk_sec, 1e-12)))
+
+    put = functools.partial(jax.device_put, device=device)
+    q = put(jnp.asarray(p12.q_snaps, dtype=dtype))
+    v = put(jnp.asarray(p12.v_snaps, dtype=dtype))
+    hit_flag = put(jnp.asarray(hit0))
+    eligible_j = put(jnp.asarray(eligible))
+    arr_j = put(jnp.asarray(arr_masked))
+    m0_j = put(jnp.asarray(m0_scen))
+    m_half_j = put(jnp.asarray(m_half_scen))
+    fst_j = put(jnp.asarray(fst, dtype=dtype))
+
+    c = c_start
+    while c < n_chunks:
+        c_j, q, v, hit_flag = _p3_chunks(
+            q, v, hit_flag, put(jnp.asarray(np.int32(c))),
+            put(jnp.asarray(np.int32(min(c + host_chunks, n_chunks)))),
+            arr_j, eligible_j, m0_j, m_half_j, fst_j,
+            n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+            planet_radius=cfg.planet_radius, dist3_mode=cfg.dist3_mode,
+            planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+            chunk_steps=cs,
+        )
+        c = int(c_j)
+        hits = np.asarray(hit_flag)
+        if (hits | ~eligible).all():
+            break  # every eligible scenario decided
+
     saved = eligible & ~np.asarray(hit_flag)
     return saved
