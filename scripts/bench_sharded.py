@@ -1,0 +1,72 @@
+"""Multi-chip scaling benchmark: body-sharded ring force step.
+
+On a real multi-chip TPU slice this measures the ICI ring path at scale
+(BASELINE.md north star: N=1M on v5e-8). On a single-chip/virtual-CPU host
+it still runs (validating the collective program) and reports the same
+metric. Prints one JSON line per configuration.
+
+Usage: python scripts/bench_sharded.py [--n 1048576] [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("NBODY_TPU_NO_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from nbody_tpu.parallel import make_mesh, make_sharded_step
+    from nbody_tpu.models.plummer import plummer_scene
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = len(jax.devices())
+    on_cpu = jax.devices()[0].platform == "cpu"
+    n = args.n or (8192 * n_dev if not on_cpu else 1024 * n_dev)
+    n -= n % n_dev
+
+    q, v, m = plummer_scene(n, seed=0)
+    mesh = make_mesh({"body": n_dev})
+    step = make_sharded_step(mesh, body_axis="body", G=6.674e-11, eps=1e-3,
+                             dt=60.0)
+    sh = NamedSharding(mesh, P("body", None))
+    qf = jax.device_put(jnp.asarray(q, jnp.float32), sh)
+    vf = jax.device_put(jnp.asarray(v, jnp.float32), sh)
+    mf = jax.device_put(jnp.asarray(m, jnp.float32),
+                        NamedSharding(mesh, P("body")))
+
+    # warmup/compile
+    q1, v1 = step(qf, vf, mf)
+    jax.block_until_ready((q1, v1))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        qf, vf = step(qf, vf, mf)
+    jax.block_until_ready((qf, vf))
+    elapsed = time.perf_counter() - t0
+
+    pairs = float(n) * n * args.steps
+    print(json.dumps({
+        "metric": f"sharded_ring_fp32_n{n}_dev{n_dev}_pairs_per_sec",
+        "value": round(pairs / elapsed, 1),
+        "unit": "pair-interactions/s",
+        "extra": {"n": n, "devices": n_dev, "steps": args.steps,
+                  "elapsed_s": round(elapsed, 4),
+                  "platform": jax.devices()[0].platform},
+    }))
+
+
+if __name__ == "__main__":
+    main()
