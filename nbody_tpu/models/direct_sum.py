@@ -145,10 +145,10 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
 
     # Scenario stack: row 0 = devices off (Problem 1, clear_device_m_gpu
     # hw5.cu:217-222), row 1 = devices on (Problem 2).
-    m0_s = put(jnp.asarray(np.stack([m0 * (1.0 - mask), m0])))
-    m_half = put(jnp.asarray(0.5 * np.stack([m0 * (1.0 - mask), m0])
-                             * mask[None, :]))
-    dev_idx = put(jnp.asarray(scene.device_idx, dtype=jnp.int32))
+    m0_s = put(np.stack([m0 * (1.0 - mask), m0]))
+    m_half = put(0.5 * np.stack([m0 * (1.0 - mask), m0])
+                 * mask[None, :])
+    dev_idx = put(np.asarray(scene.device_idx, dtype=np.int32))
     fstd = np.asarray(fst, dtype=dtype)
 
     # Step-0 checks (loops include step 0: hw5.cu:368/387 run the check
@@ -158,13 +158,13 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     r2 = np.asarray(cfg.planet_radius, dtype=dtype) ** 2
 
     carry = (
-        put(jnp.asarray(np.stack([q0, q0]))),
-        put(jnp.asarray(np.stack([v0, v0]))),
-        put(jnp.asarray(d2_0)),
-        put(jnp.asarray(np.int32(0 if d2_0 < r2 else -2))),
-        put(jnp.full((D,), -2, dtype=jnp.int32)),
-        put(jnp.zeros((D, n, 3), dtype=dtype)),
-        put(jnp.zeros((D, n, 3), dtype=dtype)),
+        put(np.stack([q0, q0])),
+        put(np.stack([v0, v0])),
+        put(np.asarray(d2_0)),
+        put(np.int32(0 if d2_0 < r2 else -2)),
+        put(np.full((D,), -2, dtype=np.int32)),
+        put(np.zeros((D, n, 3), dtype=dtype)),
+        put(np.zeros((D, n, 3), dtype=dtype)),
     )
 
     if host_chunk is None:
@@ -177,8 +177,8 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         fst_chunk = np.zeros(host_chunk, dtype=dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
         carry = _p12_chunk(
-            *carry, m0_s, m_half, dev_idx, put(jnp.asarray(fst_chunk)),
-            put(jnp.asarray(np.int32(t0))),
+            *carry, m0_s, m_half, dev_idx, put(fst_chunk),
+            put(np.int32(t0)),
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius,
             missile_speed=cfg.missile_speed, dist3_mode=cfg.dist3_mode,
@@ -301,20 +301,20 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                                      max(per_chunk_sec, 1e-12)))
 
     put = functools.partial(jax.device_put, device=device)
-    q = put(jnp.asarray(p12.q_snaps, dtype=dtype))
-    v = put(jnp.asarray(p12.v_snaps, dtype=dtype))
-    hit_flag = put(jnp.asarray(hit0))
-    eligible_j = put(jnp.asarray(eligible))
-    arr_j = put(jnp.asarray(arr_masked))
-    m0_j = put(jnp.asarray(m0_scen))
-    m_half_j = put(jnp.asarray(m_half_scen))
-    fst_j = put(jnp.asarray(fst, dtype=dtype))
+    q = put(np.asarray(p12.q_snaps, dtype=dtype))
+    v = put(np.asarray(p12.v_snaps, dtype=dtype))
+    hit_flag = put(hit0)
+    eligible_j = put(eligible)
+    arr_j = put(arr_masked)
+    m0_j = put(m0_scen)
+    m_half_j = put(m_half_scen)
+    fst_j = put(np.asarray(fst, dtype=dtype))
 
     c = c_start
     while c < n_chunks:
         c_j, q, v, hit_flag = _p3_chunks(
-            q, v, hit_flag, put(jnp.asarray(np.int32(c))),
-            put(jnp.asarray(np.int32(min(c + host_chunks, n_chunks)))),
+            q, v, hit_flag, put(np.int32(c)),
+            put(np.int32(min(c + host_chunks, n_chunks))),
             arr_j, eligible_j, m0_j, m_half_j, fst_j,
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius, dist3_mode=cfg.dist3_mode,

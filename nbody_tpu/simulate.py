@@ -103,17 +103,17 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     m_half = 0.5 * m0 * mask
 
     put = functools.partial(jax.device_put, device=device)
-    q = put(jnp.asarray(run_scene.q, dtype=dtype))
-    v = put(jnp.asarray(run_scene.v, dtype=dtype))
-    m0j = put(jnp.asarray(m0, dtype=dtype))
-    m_halfj = put(jnp.asarray(m_half, dtype=dtype))
+    q = put(np.asarray(run_scene.q, dtype=dtype))
+    v = put(np.asarray(run_scene.v, dtype=dtype))
+    m0j = put(np.asarray(m0, dtype=dtype))
+    m_halfj = put(np.asarray(m_half, dtype=dtype))
 
     inv = 1.0 / rescale.length_scale
     step = 0
     while step < n_steps:
         n_sub = min(chunk, n_steps - step)
-        fst_chunk = put(jnp.asarray(fst[step + 1: step + 1 + n_sub],
-                                    dtype=dtype))
+        fst_chunk = put(np.asarray(fst[step + 1: step + 1 + n_sub],
+                                 dtype=dtype))
         q, v = _chunk_scan(q, v, m0j, m_halfj, fst_chunk, n_sub=n_sub,
                            dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
                            fast=fast, dist3_mode=run_cfg.dist3_mode,
