@@ -29,7 +29,7 @@ from jax import lax
 def main():
     n = int(os.environ.get("BENCH_N", 65536))
     steps = int(os.environ.get("BENCH_STEPS", 20))
-    tile_i = int(os.environ.get("BENCH_TILE_I", 256))
+    tile_i = int(os.environ.get("BENCH_TILE_I", 512))
     tile_j = int(os.environ.get("BENCH_TILE_J", 2048))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
