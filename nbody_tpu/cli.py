@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override backend (default: cpu for f64, tpu else)")
     p.add_argument("--stats", action="store_true",
                    help="print a JSON run-stats line to stderr")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="persist/resume the Problem-1/2 solver state at "
+                        "PATH (preemption-safe; resume is bit-exact)")
     return p
 
 
@@ -60,7 +63,8 @@ def main(argv=None) -> int:
     with timers.phase("read_input"):
         scene = read_input(args.input)
     ans = solve_scene(scene, cfg, precision=args.precision,
-                      platform=args.platform, timers=timers)
+                      platform=args.platform, timers=timers,
+                      checkpoint_path=args.checkpoint)
     with timers.phase("write_output"):
         write_output(args.output, *ans.as_tuple())
     elapsed = time.perf_counter() - t0

@@ -56,7 +56,7 @@ def select_winner(scene: Scene, arrivals: np.ndarray, saved: np.ndarray,
 
 def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
                 precision: str = "f64", platform: str | None = None,
-                timers=None) -> Answers:
+                timers=None, checkpoint_path: str | None = None) -> Answers:
     """Answer all three problems for a scene (hw5.cu:532-615 end to end).
 
     precision:
@@ -119,7 +119,8 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     fst = oscillation_table(cfg)
     with timers.phase("problem_1_2"):
         p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
-                              dtype=dtype, fast=fast)
+                              dtype=dtype, fast=fast,
+                              checkpoint_path=checkpoint_path)
 
     gravity_device_id, missile_cost = -1, 0.0
     if p12.hit_time_step != -2 and scene.device_cnt > 0:

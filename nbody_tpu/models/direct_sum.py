@@ -127,13 +127,18 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
 
 def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                     dtype=np.float64, fast: bool = False,
-                    host_chunk: int | None = None) -> P12Result:
+                    host_chunk: int | None = None,
+                    checkpoint_path: str | None = None) -> P12Result:
     """Run Problems 1+2 (and Problem-3 preprocessing) for a Scene.
 
     `device` commits the computation to a specific backend (jit follows the
     placement of its committed inputs); `dtype`/`fast` select the numeric
     path (see backend.py). `host_chunk` bounds steps per device call
     (default: auto-sized; bit-exact regardless).
+
+    `checkpoint_path`: persist the full solver carry after every chunk and
+    resume from it if the file already exists — preemption-safe long runs
+    (crash anywhere, rerun the same command, get bit-identical answers).
     """
     n = scene.n
     put = functools.partial(jax.device_put, device=device)
@@ -170,6 +175,16 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     if host_chunk is None:
         host_chunk = _auto_chunk_steps(n, 2, cfg.n_steps, device)
     t0 = 0
+    if checkpoint_path is not None:
+        import os
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        if os.path.exists(checkpoint_path):
+            step, qc, vc, extra, _ = load_checkpoint(checkpoint_path)
+            t0 = int(step)
+            carry = (put(qc), put(vc), put(extra["min_d2"]),
+                     put(extra["hit"].astype(np.int32)),
+                     put(extra["arr"].astype(np.int32)),
+                     put(extra["q_snap"]), put(extra["v_snap"]))
     while t0 < cfg.n_steps:
         cs = min(host_chunk, cfg.n_steps - t0)
         # reuse one compiled signature: always pass host_chunk-long fst
@@ -184,7 +199,16 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             missile_speed=cfg.missile_speed, dist3_mode=cfg.dist3_mode,
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
         )
-        t0 += host_chunk
+        t0 = min(t0 + host_chunk, cfg.n_steps)
+        if checkpoint_path is not None:
+            qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            save_checkpoint(
+                checkpoint_path, step=t0, q=np.asarray(qd), v=np.asarray(vd),
+                extra={"min_d2": np.asarray(min_d2),
+                       "hit": np.asarray(hit), "arr": np.asarray(arr),
+                       "q_snap": np.asarray(q_snap),
+                       "v_snap": np.asarray(v_snap)},
+                meta={"n_steps": cfg.n_steps})
 
     _, _, min_d2, hit, arr, q_snap, v_snap = carry
     return P12Result(
