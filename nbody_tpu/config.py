@@ -48,7 +48,7 @@ class SimConfig:
     chunk_steps: int = 2000
     # Pallas force-kernel tile sizes (i-rows per grid step, j-cols per inner
     # iteration). Must be multiples of 8 and 128 respectively for f32.
-    tile_i: int = 512
+    tile_i: int = 512          # fastest measured on v5e (see results/ACCURACY.md)
     tile_j: int = 2048
 
     def mass_factor_time(self, step) -> float:

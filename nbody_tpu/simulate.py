@@ -39,9 +39,10 @@ class SimState:
 
 @functools.partial(jax.jit, static_argnames=("n_sub", "dt", "eps", "G",
                                              "fast", "dist3_mode",
-                                             "use_pallas"))
+                                             "use_pallas", "tile_i",
+                                             "tile_j"))
 def _chunk_scan(q, v, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
-                dist3_mode, use_pallas):
+                dist3_mode, use_pallas, tile_i=512, tile_j=2048):
     from .ops.integrate import symplectic_euler_step
     from .ops.pallas_forces import pallas_accel
 
@@ -49,7 +50,8 @@ def _chunk_scan(q, v, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
         q, v = carry
         m_eff = m0 + m_half * fst_t
         if use_pallas:
-            a = pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps)
+            a = pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps,
+                             tile_i=tile_i, tile_j=tile_j)
             v = v + a * dt
             q = q + v * dt
         else:
@@ -117,7 +119,8 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         q, v = _chunk_scan(q, v, m0j, m_halfj, fst_chunk, n_sub=n_sub,
                            dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
                            fast=fast, dist3_mode=run_cfg.dist3_mode,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, tile_i=run_cfg.tile_i,
+                           tile_j=run_cfg.tile_j)
         step += n_sub
         if on_chunk is not None:
             st = SimState(step=step,
