@@ -39,41 +39,58 @@ class SimState:
 
 @functools.partial(jax.jit, static_argnames=("n_sub", "dt", "eps", "G",
                                              "fast", "dist3_mode",
-                                             "use_pallas", "tile_i",
-                                             "tile_j"))
-def _chunk_scan(q, v, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
-                dist3_mode, use_pallas, tile_i=512, tile_j=2048):
-    from .ops.integrate import symplectic_euler_step
+                                             "use_pallas", "integrator",
+                                             "tile_i", "tile_j"))
+def _chunk_scan(q, v, a, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
+                dist3_mode, use_pallas, integrator="euler", tile_i=512,
+                tile_j=2048):
+    from .ops.integrate import symplectic_euler_step, kdk_leapfrog_step
+    from .ops.forces import pairwise_accel_fast
     from .ops.pallas_forces import pallas_accel
 
-    def body(carry, fst_t):
-        q, v = carry
-        m_eff = m0 + m_half * fst_t
+    def accel(q, m_eff):
         if use_pallas:
-            a = pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps,
-                             tile_i=tile_i, tile_j=tile_j)
-            v = v + a * dt
+            return pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps,
+                                tile_i=tile_i, tile_j=tile_j)
+        return pairwise_accel_fast(q, m_eff, G=G, eps=eps)
+
+    def body(carry, fst_t):
+        q, v, a = carry
+        m_eff = m0 + m_half * fst_t
+        if integrator == "leapfrog":
+            vh = v + a * (0.5 * dt)
+            q = q + vh * dt
+            a = accel(q, m_eff)
+            v = vh + a * (0.5 * dt)
+        elif use_pallas:
+            a2 = accel(q, m_eff)
+            v = v + a2 * dt
             q = q + v * dt
         else:
             q, v = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                          dist3_mode=dist3_mode, fast=fast)
-        return (q, v), None
+        return (q, v, a), None
 
-    (q, v), _ = lax.scan(body, (q, v), fst_chunk, length=n_sub)
-    return q, v
+    (q, v, a), _ = lax.scan(body, (q, v, a), fst_chunk, length=n_sub)
+    return q, v, a
 
 
 def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
              n_steps: Optional[int] = None, precision: str = "f64",
              platform: Optional[str] = None, devices_on: bool = True,
-             chunk: int = 10000,
+             chunk: int = 10000, integrator: str = "euler",
              on_chunk: Optional[Callable[[SimState], None]] = None
              ) -> SimState:
     """March the scene and return the final state (original units).
 
+    integrator: 'euler' (the graded spec's semi-implicit Euler) or
+    'leapfrog' (KDK velocity Verlet, 2nd order, same one-force-eval cost).
+
     `on_chunk` is called with a host-side SimState after every chunk
     (checkpointing hook — pair with utils.checkpoint.CheckpointPolicy).
     """
+    if integrator not in ("euler", "leapfrog"):
+        raise ValueError(f"unknown integrator: {integrator}")
     if n_steps is None:
         n_steps = cfg.n_steps
     if platform is None:
@@ -111,16 +128,25 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     m_halfj = put(np.asarray(m_half, dtype=dtype))
 
     inv = 1.0 / rescale.length_scale
+    # Leapfrog carries the acceleration; seed it at the initial positions
+    # with the first step's oscillating masses.
+    if integrator == "leapfrog":
+        from .ops.forces import pairwise_accel_fast
+        m_eff0 = m0j + m_halfj * dtype(fst[min(1, n_steps)])
+        a = pairwise_accel_fast(q, m_eff0, G=run_cfg.G, eps=run_cfg.eps)
+    else:
+        a = jnp.zeros_like(q)
+
     step = 0
     while step < n_steps:
         n_sub = min(chunk, n_steps - step)
         fst_chunk = put(np.asarray(fst[step + 1: step + 1 + n_sub],
                                  dtype=dtype))
-        q, v = _chunk_scan(q, v, m0j, m_halfj, fst_chunk, n_sub=n_sub,
-                           dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
-                           fast=fast, dist3_mode=run_cfg.dist3_mode,
-                           use_pallas=use_pallas, tile_i=run_cfg.tile_i,
-                           tile_j=run_cfg.tile_j)
+        q, v, a = _chunk_scan(q, v, a, m0j, m_halfj, fst_chunk, n_sub=n_sub,
+                              dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
+                              fast=fast, dist3_mode=run_cfg.dist3_mode,
+                              use_pallas=use_pallas, integrator=integrator,
+                              tile_i=run_cfg.tile_i, tile_j=run_cfg.tile_j)
         step += n_sub
         if on_chunk is not None:
             st = SimState(step=step,

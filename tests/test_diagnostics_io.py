@@ -70,3 +70,29 @@ def test_energy_bounded_on_plummer():
     e1 = float(total_energy(jnp.asarray(out.q), jnp.asarray(out.v),
                             jnp.asarray(m), G=G, eps=eps))
     assert abs(e1 - e0) / abs(e0) < 0.05
+
+
+def test_leapfrog_conserves_energy_better_than_euler():
+    from nbody_tpu.io import Scene
+    from nbody_tpu.utils.diagnostics import total_energy
+    from nbody_tpu.simulate import simulate
+    import jax.numpy as jnp
+
+    q, v, m = plummer_scene(48, seed=7)
+    scene = Scene(n=48, planet=0, asteroid=1, q=q, v=v, m=m,
+                  types=["star"] * 48,
+                  device_idx=np.asarray([], dtype=np.int64))
+    G, eps = 6.674e-11, 1e-3
+    e0 = float(total_energy(jnp.asarray(q), jnp.asarray(v), jnp.asarray(m),
+                            G=G, eps=eps))
+
+    def drift(integrator):
+        out = simulate(scene, n_steps=200, chunk=200, integrator=integrator)
+        e = float(total_energy(jnp.asarray(out.q), jnp.asarray(out.v),
+                               jnp.asarray(m), G=G, eps=eps))
+        return abs(e - e0) / abs(e0)
+
+    d_euler = drift("euler")
+    d_leap = drift("leapfrog")
+    assert d_leap < d_euler
+    assert d_leap < 0.02
