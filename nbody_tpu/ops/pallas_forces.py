@@ -78,23 +78,38 @@ def pallas_accel(q, gm, *, eps: float, tile_i: int = 512,
             f"tile area {tile_i}x{tile_j} exceeds the VMEM budget "
             f"(~3 live f32 tiles must fit in 16MB; keep TI*TJ <= 2^20)")
     with jax.enable_x64(False):
-        return _pallas_accel(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j)
+        return _pallas_accel_cross(q, q, gm, eps=eps, tile_i=tile_i,
+                                   tile_j=tile_j, interpret=False)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "tile_i", "tile_j"))
-def _pallas_accel(q, gm, *, eps: float, tile_i: int, tile_j: int):
-    n = q.shape[0]
-    tile_j = min(tile_j, n)
-    tile_i = min(tile_i, n)
-    assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)
-    qrow = q.T                                   # (3, n), tiny transpose
-    gmrow = gm[None, :]                          # (1, n)
+def pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int = 512,
+                       tile_j: int = 2048, interpret: bool = False):
+    """Accelerations on rows `qi` (ni, 3) from sources `qj` (nj, 3) with
+    `gmj = G*m_eff` (nj,). The building block of the body-sharded ring path
+    (parallel/sharded.py): each chip's local rows against a rotating source
+    tile. pallas_accel(q, gm) == pallas_accel_cross(q, q, gm)."""
+    with jax.enable_x64(False):
+        return _pallas_accel_cross(qi, qj, gmj, eps=eps, tile_i=tile_i,
+                                   tile_j=tile_j, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "tile_i", "tile_j",
+                                             "interpret"))
+def _pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int, tile_j: int,
+                        interpret: bool):
+    ni = qi.shape[0]
+    nj = qj.shape[0]
+    tile_i = min(tile_i, ni)
+    tile_j = min(tile_j, nj)
+    assert ni % tile_i == 0 and nj % tile_j == 0, (ni, nj, tile_i, tile_j)
+    qrow = qj.T                                  # (3, nj), tiny transpose
+    gmrow = gmj[None, :]                         # (1, nj)
 
     kernel = functools.partial(_accel_kernel, eps2=eps * eps)
     flops_per_pair = 16
     return pl.pallas_call(
         kernel,
-        grid=(n // tile_i, n // tile_j),
+        grid=(ni // tile_i, nj // tile_j),
         in_specs=[
             pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -105,13 +120,14 @@ def _pallas_accel(q, gm, *, eps: float, tile_i: int, tile_j: int):
         ],
         out_specs=pl.BlockSpec((tile_i, 3), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 3), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((ni, 3), qi.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n * n,
-            bytes_accessed=q.size * 4 * 2 + gm.size * 4,
-            transcendentals=n * n,  # rsqrt
+            flops=flops_per_pair * ni * nj,
+            bytes_accessed=qi.size * 4 + qj.size * 8 + gmj.size * 4,
+            transcendentals=ni * nj,  # rsqrt
         ),
-    )(q, qrow, gmrow)
+        interpret=interpret,
+    )(qi, qrow, gmrow)
 
 
 def pallas_step(q, v, gm, *, eps: float, dt: float, tile_i: int = 512,

@@ -34,15 +34,33 @@ def _partial_accel(qi, qj, gmj, eps: float):
     return (w[..., None] * dq).sum(1)             # (ni, 3)
 
 
-def ring_pairwise_accel(q_local, gm_local, *, axis_name: str, eps: float):
+def ring_pairwise_accel(q_local, gm_local, *, axis_name: str, eps: float,
+                        use_pallas: bool = False, interpret: bool = False,
+                        tile_i: int = 512, tile_j: int = 2048):
     """All-pairs accelerations for this shard's bodies, rotating j-tiles
-    around the `axis_name` ring. Call inside shard_map."""
+    around the `axis_name` ring. Call inside shard_map.
+
+    use_pallas routes each (local rows x rotating tile) block through the
+    tiled VMEM kernel (ops/pallas_forces.pallas_accel_cross) — the
+    production path on TPU slices; the XLA broadcast path is the portable
+    fallback (and the one used on CPU test meshes).
+    """
     nshards = lax.axis_size(axis_name)
     perm = [(i, (i + 1) % nshards) for i in range(nshards)]
 
+    if use_pallas:
+        from ..ops.pallas_forces import pallas_accel_cross
+
+        def partial(qi, qj, gmj):
+            return pallas_accel_cross(qi, qj, gmj, eps=eps, tile_i=tile_i,
+                                      tile_j=tile_j, interpret=interpret)
+    else:
+        def partial(qi, qj, gmj):
+            return _partial_accel(qi, qj, gmj, eps)
+
     def body(_, carry):
         a, qj, gmj = carry
-        a = a + _partial_accel(q_local, qj, gmj, eps)
+        a = a + partial(q_local, qj, gmj)
         qj = lax.ppermute(qj, axis_name, perm)
         gmj = lax.ppermute(gmj, axis_name, perm)
         return a, qj, gmj
@@ -55,7 +73,8 @@ def ring_pairwise_accel(q_local, gm_local, *, axis_name: str, eps: float):
 
 def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
                       batch_axes: tuple = (), G: float, eps: float,
-                      dt: float):
+                      dt: float, use_pallas: bool = False,
+                      interpret: bool = False):
     """Build a jitted sharded step: (q, v, m_eff) -> (q, v).
 
     q, v: (*batch, n, 3) sharded over `batch_axes` + bodies over `body_axis`;
@@ -69,7 +88,9 @@ def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
     def local_step(q, v, m_eff):
         # q, v: (*b, n_local, 3); m_eff: (*b, n_local)
         def one(qb, vb, mb):
-            a = ring_pairwise_accel(qb, G * mb, axis_name=body_axis, eps=eps)
+            a = ring_pairwise_accel(qb, G * mb, axis_name=body_axis, eps=eps,
+                                    use_pallas=use_pallas,
+                                    interpret=interpret)
             vb = vb + a * dt
             qb = qb + vb * dt
             return qb, vb
@@ -82,6 +103,9 @@ def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
         local_step, mesh=mesh,
         in_specs=(state_spec, state_spec, in_spec),
         out_specs=(state_spec, state_spec),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the specs
+        # above already pin the sharding.
+        check_vma=not use_pallas,
     )
     return jax.jit(step)
 

@@ -87,3 +87,22 @@ def test_sharded_determinism():
     q2, v2 = step(jnp.asarray(q), jnp.asarray(v), jnp.asarray(m))
     assert (np.asarray(q1) == np.asarray(q2)).all()
     assert (np.asarray(v1) == np.asarray(v2)).all()
+
+
+def test_ring_with_pallas_kernel_interpret():
+    """The production ring path (Pallas cross kernel inside shard_map) in
+    interpreter mode on the CPU mesh must match the XLA ring path."""
+    n = 256
+    q, v, m = _rand_system(n, seed=5)
+    mesh = make_mesh({"body": 8})
+    step_ref = make_sharded_step(mesh, body_axis="body", G=G, eps=EPS, dt=DT)
+    step_pl = make_sharded_step(mesh, body_axis="body", G=G, eps=EPS, dt=DT,
+                                use_pallas=True, interpret=True)
+    import jax.numpy as jnp
+    qf = jnp.asarray(q, jnp.float32)
+    vf = jnp.asarray(v, jnp.float32)
+    mf = jnp.asarray(m, jnp.float32)
+    q1, v1 = step_ref(qf, vf, mf)
+    q2, v2 = step_pl(qf, vf, mf)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=3e-5,
+                               atol=float(np.abs(np.asarray(q1)).max()) * 1e-6)
