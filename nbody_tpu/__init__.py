@@ -33,6 +33,7 @@ if not os.environ.get("NBODY_TPU_NO_X64"):
 from .config import SimConfig  # noqa: E402
 from .io import Scene, read_input, write_output, format_output  # noqa: E402
 from .engine import Answers, solve_scene  # noqa: E402
+from .simulate import simulate, SimState  # noqa: E402
 
 __all__ = [
     "SimConfig",
@@ -42,6 +43,8 @@ __all__ = [
     "format_output",
     "Answers",
     "solve_scene",
+    "simulate",
+    "SimState",
 ]
 
 __version__ = "0.1.0"

@@ -4,8 +4,8 @@ The reference binary only answers the three scenario questions; a framework
 user also wants the underlying capability — "integrate this system" — with
 device oscillation on/off, checkpoint/resume, and backend/precision choice.
 
-  final = simulate(scene, n_steps=..., precision="f32", every=...,
-                   on_chunk=callback)
+  final = simulate(scene, n_steps=..., precision="f32",
+                   integrator="leapfrog", on_chunk=callback)
 
 The loop is chunked: each chunk is one on-device scan (zero host traffic);
 between chunks the host may checkpoint or log. Chunk size trades host
