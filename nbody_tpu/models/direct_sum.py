@@ -278,7 +278,8 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
 
 def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                   device=None, dtype=np.float64, fast: bool = False,
-                  host_chunks: int | None = None) -> np.ndarray:
+                  host_chunks: int | None = None,
+                  strategy: str = "auto") -> np.ndarray:
     """Return (D,) bool: True if destroying device k saves the planet.
 
     Only scenarios with a valid arrival (!= -2) and arrival <= hit step can
@@ -286,6 +287,18 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     reference evaluates such late scenarios from their post-hit snapshot and
     can miss the hit entirely — hw5.cu:489-508 only checks from the resume
     step; we fix that by masking them out.)
+
+    strategy:
+      'batched'    — all scenarios in one masked batch (latency-friendly).
+      'sequential' — one scenario at a time in (arrival, index) order,
+                     stopping at the first savior: the missile cost is
+                     monotone in the arrival step, so the first saving
+                     scenario in that order is the answer and later ones are
+                     dominated (the reference's PROBLEM3_BREAK pruning,
+                     hw5.cu:574-585, 490-493 — here exact, not speculative).
+                     Work is sum of per-scenario active suffixes instead of
+                     D x the longest one.
+      'auto'       — sequential for large scenes, batched for small.
     """
     D = scene.device_cnt
     if D == 0:
@@ -294,10 +307,45 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     if not eligible.any():
         return np.zeros((D,), dtype=bool)
 
-    # Per-scenario masses: device k destroyed (mass 0) for the whole resumed
-    # suffix — every resumed force evaluation happens at t > arrival.
+    if strategy == "auto":
+        strategy = "sequential" if scene.n >= 256 else "batched"
+    if strategy == "sequential":
+        saved = np.zeros((D,), dtype=bool)
+        order = sorted(np.nonzero(eligible)[0],
+                       key=lambda k: (int(p12.arrivals[k]),
+                                      int(scene.device_idx[k])))
+        for k in order:
+            sub = _run_p3_scenarios(
+                scene, p12, fst, cfg, np.asarray([k]), device=device,
+                dtype=dtype, fast=fast, host_chunks=host_chunks)
+            saved[k] = bool(sub[0])
+            if saved[k]:
+                break  # dominated: later scenarios cost strictly more
+        return saved
+
+    idx = np.arange(D)
+    return_mask = _run_p3_scenarios(scene, p12, fst, cfg, idx, device=device,
+                                    dtype=dtype, fast=fast,
+                                    host_chunks=host_chunks)
+    out = np.zeros((D,), dtype=bool)
+    out[idx] = return_mask
+    return out & eligible
+
+
+def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
+                      idx: np.ndarray, *, device=None, dtype=np.float64,
+                      fast: bool = False,
+                      host_chunks: int | None = None) -> np.ndarray:
+    """Run the resumed simulations for the scenario subset `idx` (device
+    slots). Returns (len(idx),) bool saved-mask."""
+    D = len(idx)
+    eligible = ((p12.arrivals[idx] != -2) &
+                (p12.arrivals[idx] <= p12.hit_time_step))
+
+    # Per-scenario masses: device idx[i] destroyed (mass 0) for the whole
+    # resumed suffix — every resumed force evaluation happens at t > arrival.
     m0_scen = np.tile(np.asarray(scene.m, dtype=dtype)[None, :], (D, 1))
-    m0_scen[np.arange(D), scene.device_idx] = 0.0
+    m0_scen[np.arange(D), np.asarray(scene.device_idx)[idx]] = 0.0
     device_mask = np.asarray(scene.device_mask(), dtype=dtype)
     m_half_scen = 0.5 * m0_scen * device_mask[None, :]
 
@@ -306,13 +354,15 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     # Freeze ineligible scenarios entirely (arrival pinned past the end) so
     # they are never integrated and never block the early exit; selection
     # masks them out regardless.
-    arr_masked = np.where(eligible, p12.arrivals, cfg.n_steps).astype(np.int32)
+    arr_masked = np.where(eligible, p12.arrivals[idx],
+                          cfg.n_steps).astype(np.int32)
     # skip-ahead: chunks before the earliest eligible arrival are identity
     c_start = int(max(int(arr_masked.min()), 0) // cs)
 
     # Hit check at t == arrival with the snapshot state (missile_cost_gpu's
     # test runs at the resume step before any update, hw5.cu:292-298).
-    dsnap = p12.q_snaps[:, scene.planet] - p12.q_snaps[:, scene.asteroid]
+    dsnap = (p12.q_snaps[idx][:, scene.planet]
+             - p12.q_snaps[idx][:, scene.asteroid])
     hit0 = ((dsnap * dsnap).sum(-1) <
             np.asarray(cfg.planet_radius, dtype=np.float64) ** 2)
 
@@ -325,8 +375,8 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                                      max(per_chunk_sec, 1e-12)))
 
     put = functools.partial(jax.device_put, device=device)
-    q = put(np.asarray(p12.q_snaps, dtype=dtype))
-    v = put(np.asarray(p12.v_snaps, dtype=dtype))
+    q = put(np.asarray(p12.q_snaps[idx], dtype=dtype))
+    v = put(np.asarray(p12.v_snaps[idx], dtype=dtype))
     hit_flag = put(hit0)
     eligible_j = put(eligible)
     arr_j = put(arr_masked)

@@ -50,3 +50,19 @@ def test_chunk_size_does_not_change_p3():
         p12 = run_problems_12(scene, fst, cfg)
         outcomes.append(list(run_problem_3(scene, p12, fst, cfg)))
     assert all(o == outcomes[0] for o in outcomes[1:])
+
+
+def test_p3_sequential_equals_batched():
+    """The dominance-pruned sequential strategy must agree with the batched
+    strategy on the winner (and on the saved-flag of every scenario it
+    evaluates before stopping)."""
+    from nbody_tpu.engine import select_winner
+
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    cfg = dataclasses.replace(SimConfig(), n_steps=600, chunk_steps=100)
+    fst = oscillation_table(cfg)
+    p12 = run_problems_12(scene, fst, cfg)
+    a = run_problem_3(scene, p12, fst, cfg, strategy="batched")
+    b = run_problem_3(scene, p12, fst, cfg, strategy="sequential")
+    assert select_winner(scene, p12.arrivals, a, cfg) == \
+        select_winner(scene, p12.arrivals, b, cfg)
