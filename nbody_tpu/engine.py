@@ -81,6 +81,11 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
 
     if platform is None:
         platform = backend.default_platform_for_precision(precision)
+    if precision == "f64" and platform != "cpu":
+        raise ValueError(
+            "precision 'f64' requires the CPU backend: the TPU emulates f64 "
+            "with float32-RANGE double-double arithmetic and these scenes "
+            "overflow it (see backend.py). Use precision 'dd' on TPU.")
     device = backend.device_for(platform)
 
     rescale = IDENTITY

@@ -95,6 +95,10 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         n_steps = cfg.n_steps
     if platform is None:
         platform = backend.default_platform_for_precision(precision)
+    if precision == "f64" and platform != "cpu":
+        raise ValueError(
+            "precision 'f64' requires the CPU backend (TPU f64 emulation "
+            "has float32 range); use 'dd' on accelerators")
     device = backend.device_for(platform)
 
     rescale = IDENTITY
