@@ -32,13 +32,21 @@ class SimConfig:
     device_mass_period: float = 6000.0
 
     # --- numerics ---
-    # How (d2)^1.5 is computed in the fp64 graded paths ('exact' and 'f64';
-    # the fast accelerator paths use rsqrt). The golden outputs were
-    # generated with serial pow(d2, 1.5) semantics (samples/nbody.cc:69) —
-    # the native core reproduces them byte-for-byte in 'pow' mode — so that
-    # is the default. hw5's MATH_OPTIMIZE variant is 'sqrt3'
-    # (sqrt(d2*d2*d2), hw5.cu:204-206); 'dsqrt' (d2*sqrt(d2)) is cheapest.
-    dist3_mode: str = "pow"        # 'pow' | 'dsqrt' | 'sqrt3'
+    # How (d2)^1.5 is computed in the fp64 graded paths. None resolves per
+    # engine path: 'pow' for the native exact mode (the golden generator's
+    # serial semantics, samples/nbody.cc:69 — byte-golden 12/12) and
+    # 'dsqrt' (d2*sqrt(d2)) for the JAX paths. Measured: dsqrt uses only
+    # correctly-rounded IEEE ops so XLA and libm agree bitwise (and dsqrt
+    # outputs are byte-golden too), while XLA's pow deviates from libm
+    # systematically and wrecks chaotic cases; dsqrt is also ~10x faster
+    # (no scalar pow calls). hw5's MATH_OPTIMIZE variant is 'sqrt3'
+    # (sqrt(d2*d2*d2), hw5.cu:204-206).
+    dist3_mode: str | None = None  # None | 'pow' | 'dsqrt' | 'sqrt3'
+
+    def resolved_dist3(self, precision: str = "f64") -> str:
+        if self.dist3_mode is not None:
+            return self.dist3_mode
+        return "pow" if precision == "exact" else "dsqrt"
 
     # --- engine knobs ---
     # Steps per on-device scan chunk when early exit is enabled: the P2/P3

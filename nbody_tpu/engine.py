@@ -74,8 +74,8 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     if precision == "exact":
         # Native serial core: byte-golden outputs (see nbody_tpu/native.py).
         from .native import solve_exact
-        md, hs, dev, cost = solve_exact(scene, cfg,
-                                        dist3_mode=cfg.dist3_mode)
+        md, hs, dev, cost = solve_exact(
+            scene, cfg, dist3_mode=cfg.resolved_dist3("exact"))
         return Answers(min_dist=md, hit_time_step=hs, gravity_device_id=dev,
                        missile_cost=cost)
 
@@ -89,13 +89,15 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     device = backend.device_for(platform)
 
     rescale = IDENTITY
-    run_scene, run_cfg = scene, cfg
+    run_scene = scene
+    run_cfg = dataclasses.replace(cfg,
+                                  dist3_mode=cfg.resolved_dist3(precision))
     dtype: object = np.float64
     fast = False
     if precision in ("dd", "f32"):
         rescale = compute_rescale(scene)
         run_scene = rescale.apply_scene(scene)
-        run_cfg = rescale.apply_cfg(cfg)
+        run_cfg = rescale.apply_cfg(run_cfg)
         if precision == "f32":
             dtype = np.float32
             fast = True

@@ -196,7 +196,8 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             put(np.int32(t0)),
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius,
-            missile_speed=cfg.missile_speed, dist3_mode=cfg.dist3_mode,
+            missile_speed=cfg.missile_speed,
+            dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
         )
         t0 = min(t0 + host_chunk, cfg.n_steps)
@@ -391,7 +392,8 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             put(np.int32(min(c + host_chunks, n_chunks))),
             arr_j, eligible_j, m0_j, m_half_j, fst_j,
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-            planet_radius=cfg.planet_radius, dist3_mode=cfg.dist3_mode,
+            planet_radius=cfg.planet_radius,
+            dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
             chunk_steps=cs,
         )

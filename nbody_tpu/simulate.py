@@ -102,13 +102,15 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     device = backend.device_for(platform)
 
     rescale = IDENTITY
-    run_scene, run_cfg = scene, cfg
+    run_scene = scene
+    run_cfg = dataclasses.replace(cfg,
+                                  dist3_mode=cfg.resolved_dist3(precision))
     dtype = np.float64
     fast = False
     if precision in ("dd", "f32"):
         rescale = compute_rescale(scene)
         run_scene = rescale.apply_scene(scene)
-        run_cfg = rescale.apply_cfg(cfg)
+        run_cfg = rescale.apply_cfg(run_cfg)
         fast = True
         if precision == "f32":
             dtype = np.float32

@@ -32,10 +32,18 @@ def main():
                     choices=["exact", "f64", "dd", "f32"])
     ap.add_argument("--cases", default=",".join(ALL_CASES))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--dist3-mode", default=None,
+                    choices=["pow", "dsqrt", "sqrt3"])
     args = ap.parse_args()
 
-    from nbody_tpu import read_input, solve_scene, format_output
+    import dataclasses
+
+    from nbody_tpu import read_input, solve_scene, format_output, SimConfig
     from nbody_tpu.io import parse_output
+
+    cfg = SimConfig()
+    if args.dist3_mode:
+        cfg = dataclasses.replace(cfg, dist3_mode=args.dist3_mode)
 
     results = []
     for case in args.cases.split(","):
@@ -47,7 +55,7 @@ def main():
         g_min, g_hit, g_dev, g_cost = parse_output(gold_text)
 
         t0 = time.perf_counter()
-        ans = solve_scene(scene, precision=args.precision)
+        ans = solve_scene(scene, cfg, precision=args.precision)
         wall = time.perf_counter() - t0
 
         ours = format_output(*ans.as_tuple())
@@ -56,6 +64,7 @@ def main():
         rel_cost = (abs(ans.missile_cost - g_cost) / max(abs(g_cost), 1.0))
         rec = {
             "case": case, "n": scene.n, "precision": args.precision,
+            "dist3_mode": cfg.resolved_dist3(args.precision),
             "wall_s": round(wall, 2),
             "byte_equal": byte_equal,
             "min_dist_rel_err": rel_min,
