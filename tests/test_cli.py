@@ -39,3 +39,13 @@ def test_cli_rejects_bad_precision():
     r = _run([B20, "/tmp/x.out", "--precision", "f16"])
     assert r.returncode != 0
     assert "invalid choice" in r.stderr
+
+
+def test_full_b20_byte_golden(tmp_path):
+    """Full-length b20 through the default f64 path must be byte-identical
+    to the golden output (~15 s; the full 12-case sweep lives in scripts/)."""
+    out = str(tmp_path / "b20.out")
+    r = _run([B20, out])
+    assert r.returncode == 0, r.stderr
+    with open(out) as f, open("/root/reference/testcases/b20.out") as g:
+        assert f.read() == g.read()
