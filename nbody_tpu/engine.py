@@ -60,12 +60,14 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     """Answer all three problems for a scene (hw5.cu:532-615 end to end).
 
     precision:
-      'f64' — true IEEE binary64; runs on CPU by default (the TPU emulates
-              f64 with f32-range double-double arithmetic — see backend.py).
-              This is the golden-exact graded path.
+      'exact' — native C++ serial core (libm pow): byte-golden 12/12.
+      'f64' — IEEE binary64 XLA scan on CPU (the TPU emulates f64 with
+              f32-range double-double arithmetic — see backend.py). With
+              the default dsqrt dist3 resolution this is ALSO byte-golden
+              on all 12 testcases (results/ACCURACY.md). The default.
       'dd'  — f64 arrays on the accelerator (double-double emulation) with
               exact power-of-2 rescaling to fit f32 range. Deterministic,
-              ~f64-accurate, much faster than CPU for large n.
+              trajectory-grade (~1e-15/step), much faster for large n.
       'f32' — float32 fast path with rescaling; throughput mode.
     """
     from . import backend
