@@ -66,3 +66,18 @@ def test_p3_sequential_equals_batched():
     b = run_problem_3(scene, p12, fst, cfg, strategy="sequential")
     assert select_winner(scene, p12.arrivals, a, cfg) == \
         select_winner(scene, p12.arrivals, b, cfg)
+
+
+def test_dd_pipeline_on_cpu_equals_f64():
+    """The dd pipeline (rescale + dsqrt) run on the CPU backend must give
+    bit-identical answers to the plain f64 path: power-of-2 rescaling is an
+    exact transform and both paths then use the same IEEE arithmetic."""
+    from nbody_tpu.engine import solve_scene
+
+    scene = read_input(os.path.join(TESTCASE_DIR, "b30.in"))
+    cfg = dataclasses.replace(SimConfig(), n_steps=500)
+    a = solve_scene(scene, cfg, precision="f64")
+    b = solve_scene(scene, cfg, precision="dd", platform="cpu")
+    assert b.min_dist == a.min_dist
+    assert b.hit_time_step == a.hit_time_step
+    assert b.gravity_device_id == a.gravity_device_id
