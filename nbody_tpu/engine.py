@@ -97,7 +97,7 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     dtype: object = np.float64
     fast = False
     if precision in ("dd", "f32"):
-        rescale = compute_rescale(scene)
+        rescale = compute_rescale(scene, eps=run_cfg.eps)
         run_scene = rescale.apply_scene(scene)
         run_cfg = rescale.apply_cfg(run_cfg)
         if precision == "f32":

@@ -44,17 +44,50 @@ from ..config import SimConfig
 from ..ops.integrate import symplectic_euler_step
 
 # Rough device-seconds per (pair-interaction * scenario) on the emulated-f64
-# TPU path; used only to size host chunks (~60 s of device work per call).
+# TPU path — a SAFETY PRIOR only: it sizes the first (probe) chunks of the
+# AdaptiveChunker, which then re-sizes from the measured rate
+# (utils/chunking.py). Even a 10x mis-calibration only affects the probes.
 _DD_SEC_PER_PAIR_STEP = 1.4e-9
-_TARGET_CHUNK_SEC = 60.0
 
 
-def _auto_chunk_steps(n: int, batch: int, n_steps: int, device) -> int:
-    if device is None or getattr(device, "platform", "cpu") == "cpu":
-        return n_steps  # CPU XLA has no execution watchdog
-    est = _DD_SEC_PER_PAIR_STEP * batch * n * n
-    chunk = int(_TARGET_CHUNK_SEC / max(est, 1e-12))
-    return max(2000, min(n_steps, chunk))
+def _on_accelerator(device) -> bool:
+    return device is not None and getattr(device, "platform", "cpu") != "cpu"
+
+
+def _guard_finite(*arrays, context: str = "") -> None:
+    """Fail loudly if an accelerated (rescaled, f32-range) run overflowed.
+
+    compute_rescale's growth_margin is a heuristic; if a scene's orbits
+    expand past it, intermediates go inf -> NaN and every downstream answer
+    is garbage. Checked once per host chunk — negligible cost, loud failure.
+    """
+    ok = True
+    for a in arrays:
+        for leaf in jax.tree.leaves(a):
+            ok = ok & jnp.isfinite(leaf).all()
+    if not bool(np.asarray(ok)):
+        raise FloatingPointError(
+            f"non-finite simulation state {context}: the rescaled f32-range "
+            "pipeline overflowed — orbital growth exceeded the rescale "
+            "window (utils/rescale.py growth_margin). Rerun with a larger "
+            "growth_margin or precision='f64'.")
+
+
+def _solver_fingerprint(scene, cfg: SimConfig, dtype, fast: bool) -> str:
+    """Digest of everything that determines the solver carry's meaning;
+    resuming a checkpoint written under a different scene/config/precision
+    would silently produce wrong answers. n_steps is deliberately excluded:
+    the carry at step t is valid for any continuation length >= t (resuming
+    a truncated run with the full horizon IS the preemption pattern)."""
+    import hashlib
+    h = hashlib.sha256()
+    for arr in (scene.q, scene.v, scene.m, np.asarray(scene.device_idx)):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(repr((scene.n, scene.planet, scene.asteroid,
+                   cfg.dt, cfg.eps, cfg.G, cfg.planet_radius,
+                   cfg.missile_speed, cfg.dist3_mode, np.dtype(dtype).name,
+                   bool(fast))).encode())
+    return h.hexdigest()
 
 
 def _sq_dist(qa, qb):
@@ -172,24 +205,44 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         put(np.zeros((D, n, 3), dtype=dtype)),
     )
 
+    on_accel = _on_accelerator(device)
+    chunker = None
     if host_chunk is None:
-        host_chunk = _auto_chunk_steps(n, 2, cfg.n_steps, device)
+        if not on_accel:
+            host_chunk = cfg.n_steps   # CPU XLA has no execution watchdog
+        else:
+            from ..utils.chunking import AdaptiveChunker
+            chunker = AdaptiveChunker(_DD_SEC_PER_PAIR_STEP * 2 * n * n,
+                                      cfg.n_steps)
     t0 = 0
     if checkpoint_path is not None:
         import os
         from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        fingerprint = _solver_fingerprint(scene, cfg, dtype, fast)
         if os.path.exists(checkpoint_path):
-            step, qc, vc, extra, _ = load_checkpoint(checkpoint_path)
+            step, qc, vc, extra, meta = load_checkpoint(checkpoint_path)
+            if meta.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written for a "
+                    "different scene/config/precision — refusing to resume "
+                    "(delete it or pass a fresh path)")
             t0 = int(step)
+            if t0 > cfg.n_steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} is at step {t0}, beyond "
+                    f"this run's horizon n_steps={cfg.n_steps}")
             carry = (put(qc), put(vc), put(extra["min_d2"]),
                      put(extra["hit"].astype(np.int32)),
                      put(extra["arr"].astype(np.int32)),
                      put(extra["q_snap"]), put(extra["v_snap"]))
     while t0 < cfg.n_steps:
-        cs = min(host_chunk, cfg.n_steps - t0)
-        # reuse one compiled signature: always pass host_chunk-long fst
-        # slices (padded at the tail; masked in-kernel)
-        fst_chunk = np.zeros(host_chunk, dtype=dtype)
+        hc = chunker.start() if chunker is not None else host_chunk
+        cs = min(hc, cfg.n_steps - t0)
+        # reuse compiled signatures: always pass hc-long fst slices (padded
+        # at the tail; masked in-kernel). The chunker only ever emits the
+        # probe size and one adapted power-of-two multiple of it, so at most
+        # two signatures per (n, D) bucket.
+        fst_chunk = np.zeros(hc, dtype=dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
         carry = _p12_chunk(
             *carry, m0_s, m_half, dev_idx, put(fst_chunk),
@@ -200,7 +253,14 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
         )
-        t0 = min(t0 + host_chunk, cfg.n_steps)
+        if chunker is not None or on_accel:
+            jax.block_until_ready(carry)
+        if chunker is not None:
+            chunker.finish(cs)
+        if on_accel:
+            _guard_finite(carry[0], carry[2],
+                          context=f"in P1/P2 after step {t0 + cs}")
+        t0 += cs
         if checkpoint_path is not None:
             qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
             save_checkpoint(
@@ -209,7 +269,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                        "hit": np.asarray(hit), "arr": np.asarray(arr),
                        "q_snap": np.asarray(q_snap),
                        "v_snap": np.asarray(v_snap)},
-                meta={"n_steps": cfg.n_steps})
+                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint})
 
     _, _, min_d2, hit, arr, q_snap, v_snap = carry
     return P12Result(
@@ -367,13 +427,16 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
     hit0 = ((dsnap * dsnap).sum(-1) <
             np.asarray(cfg.planet_radius, dtype=np.float64) ** 2)
 
+    chunker = None
     if host_chunks is None:
-        per_chunk_sec = _DD_SEC_PER_PAIR_STEP * D * scene.n * scene.n * cs
-        if device is None or getattr(device, "platform", "cpu") == "cpu":
+        if not _on_accelerator(device):
             host_chunks = n_chunks
         else:
-            host_chunks = max(1, int(_TARGET_CHUNK_SEC /
-                                     max(per_chunk_sec, 1e-12)))
+            # Adaptive, measured in units of `cs`-step chunks. c_limit is a
+            # traced argument, so resizing costs no recompile here.
+            from ..utils.chunking import AdaptiveChunker
+            per_chunk_sec = _DD_SEC_PER_PAIR_STEP * D * scene.n * scene.n * cs
+            chunker = AdaptiveChunker(per_chunk_sec, n_chunks, floor=1)
 
     put = functools.partial(jax.device_put, device=device)
     q = put(np.asarray(p12.q_snaps[idx], dtype=dtype))
@@ -387,9 +450,10 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
 
     c = c_start
     while c < n_chunks:
+        hc = chunker.start() if chunker is not None else host_chunks
         c_j, q, v, hit_flag = _p3_chunks(
             q, v, hit_flag, put(np.int32(c)),
-            put(np.int32(min(c + host_chunks, n_chunks))),
+            put(np.int32(min(c + hc, n_chunks))),
             arr_j, eligible_j, m0_j, m_half_j, fst_j,
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius,
@@ -397,7 +461,12 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
             chunk_steps=cs,
         )
-        c = int(c_j)
+        c_new = int(c_j)   # materializes the carry (blocks)
+        if chunker is not None:
+            chunker.finish(c_new - c)
+        if _on_accelerator(device):
+            _guard_finite(q, context=f"in P3 after chunk {c_new}")
+        c = c_new
         hits = np.asarray(hit_flag)
         if (hits | ~eligible).all():
             break  # every eligible scenario decided

@@ -108,7 +108,7 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     dtype = np.float64
     fast = False
     if precision in ("dd", "f32"):
-        rescale = compute_rescale(scene)
+        rescale = compute_rescale(scene, eps=run_cfg.eps)
         run_scene = rescale.apply_scene(scene)
         run_cfg = rescale.apply_cfg(run_cfg)
         fast = True

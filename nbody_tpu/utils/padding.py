@@ -43,6 +43,12 @@ def pad_scene(scene: Scene, n_target: int | None = None,
         n_target = bucket_size(scene.n)
     n_pad = n_target - scene.n
     d_pad = max(d_target - scene.device_cnt, 0)
+    if scene.device_cnt == 0:
+        # A device-free scene has no Problem-3 scenarios at all; padding in
+        # dummy device slots would require a zero-mass body to point them at
+        # (none is guaranteed when n_pad == 0). Keep zero slots — the rare
+        # extra jit signature beats corrupting a real body's mass.
+        d_pad = 0
     if n_pad == 0 and d_pad == 0:
         return scene
     if n_pad < 0:

@@ -49,5 +49,12 @@ def device_trace(logdir: str | None):
 
 
 def pair_interactions(n: int, n_steps: int, n_sims: int) -> int:
-    """Total pair interactions: the engine's work metric (SURVEY.md §6)."""
-    return n * n * (n_steps + 1) * n_sims
+    """Total pair interactions: the engine's work metric (SURVEY.md §6).
+
+    Step 0 performs no force evaluation (the loops only check/snapshot at
+    step 0, hw5.cu:368-377), so a full simulation does n_steps force
+    evaluations. An UPPER BOUND when early exit / pruning shortens runs
+    (P2 break, P3 suffixes): callers should treat pairs/s derived from it
+    as a lower bound on achieved throughput.
+    """
+    return n * n * n_steps * n_sims

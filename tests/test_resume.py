@@ -34,3 +34,28 @@ def test_p12_checkpoint_resume_bitexact(tmp_path):
     assert res.hit_time_step == ref.hit_time_step
     np.testing.assert_array_equal(res.arrivals, ref.arrivals)
     np.testing.assert_array_equal(res.q_snaps, ref.q_snaps)
+
+
+def test_checkpoint_refuses_mismatched_run(tmp_path):
+    """Resuming with a different scene or numeric config must fail loudly,
+    not silently produce wrong answers (ADVICE r1)."""
+    import pytest
+
+    scene = read_input(os.path.join(TESTCASE_DIR, "b30.in"))
+    cfg = dataclasses.replace(SimConfig(), n_steps=120)
+    fst = oscillation_table(cfg)
+    ck = str(tmp_path / "p12.npz")
+    run_problems_12(scene, fst, cfg, host_chunk=60, checkpoint_path=ck)
+
+    other_scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    with pytest.raises(ValueError, match="different scene"):
+        run_problems_12(other_scene, fst, cfg, host_chunk=60,
+                        checkpoint_path=ck)
+    with pytest.raises(ValueError, match="different scene"):
+        run_problems_12(scene, fst, dataclasses.replace(cfg, eps=2e-3),
+                        host_chunk=60, checkpoint_path=ck)
+    # a checkpoint beyond the requested horizon is also refused
+    with pytest.raises(ValueError, match="beyond"):
+        run_problems_12(scene, oscillation_table(cfg, 60),
+                        dataclasses.replace(cfg, n_steps=60),
+                        host_chunk=60, checkpoint_path=ck)

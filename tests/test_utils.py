@@ -41,7 +41,55 @@ def test_phase_timers():
         pass
     rec = t.report(stream=open(os.devnull, "w"), n=5)
     assert "a" in rec["phases_s"] and rec["n"] == 5
-    assert pair_interactions(10, 1, 2) == 10 * 10 * 2 * 2
+    # step 0 performs no force evaluation: n_steps evaluations per sim
+    assert pair_interactions(10, 1, 2) == 10 * 10 * 1 * 2
+
+
+def test_adaptive_chunker_fake_timer():
+    """A mis-calibrated prior must not risk watchdog kills: the chunker
+    re-sizes from the measured rate after the first steady-state chunk."""
+    from nbody_tpu.utils.chunking import AdaptiveChunker
+
+    clock = [0.0]
+
+    def fake_timer():
+        return clock[0]
+
+    # Prior says 1e-6 s/step (=> probe capped at 2000); reality is 100x
+    # slower: 1e-4 s/step.
+    ck = AdaptiveChunker(1e-6, 200000, timer=fake_timer)
+    assert ck.probe == 2000
+    # chunk 1: compile + run, hugely slow — must be ignored
+    assert ck.start() == 2000
+    clock[0] += 300.0
+    ck.finish(2000)
+    assert ck.chunk == 2000
+    # chunk 2: steady state at 1e-4 s/step -> 0.2 s for 2000 steps
+    assert ck.start() == 2000
+    clock[0] += 0.2
+    ck.finish(2000)
+    # measured rate 1e4 steps/s -> TARGET 60 s -> 6e5 steps -> probe<<8
+    # = 512000, then halved until <= MAX_SEC (180 s -> 1.8e6 steps ok),
+    # capped at n_steps
+    assert ck.chunk == min(2000 << 8, 200000)
+    assert ck.measured_rate == pytest.approx(1e4)
+
+    # Opposite mis-calibration: prior too optimistic, device 100x slower
+    # than TARGET/probe: chunk must stay at the probe (never grow past
+    # MAX_SEC at the measured rate).
+    ck2 = AdaptiveChunker(1e-6, 200000, timer=fake_timer)
+    ck2.start(); clock[0] += 500.0; ck2.finish(2000)
+    ck2.start(); clock[0] += 400.0; ck2.finish(2000)  # 5 steps/s
+    assert ck2.chunk == ck2.probe  # 2000 steps @ 5/s = 400 s > prior, no growth
+
+
+def test_adaptive_chunker_zero_progress():
+    from nbody_tpu.utils.chunking import AdaptiveChunker
+    clock = [0.0]
+    ck = AdaptiveChunker(1e-6, 1000, floor=1, timer=lambda: clock[0])
+    ck.start(); clock[0] += 1.0; ck.finish(5)
+    ck.start(); clock[0] += 1.0; ck.finish(0)   # early-exit chunk: no steps
+    assert ck.chunk >= 1  # no crash, sane size
 
 
 def test_rescale_is_exact():
