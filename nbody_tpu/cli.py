@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override number of steps (default 200000)")
     p.add_argument("--dist3-mode", choices=["dsqrt", "sqrt3", "pow"],
                    default=None, help="fp64 (d^2)^1.5 evaluation order")
-    p.add_argument("--precision", choices=["exact", "f64", "dd", "f32"],
+    p.add_argument("--precision",
+                   choices=["exact", "f64", "ddp", "dd+", "dd", "f32"],
                    default="f64",
                    help="exact: native serial core, byte-golden; f64: IEEE "
                         "binary64 scan (CPU); dd: accelerator double-double "

@@ -65,9 +65,15 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
               f32-range double-double arithmetic — see backend.py). With
               the default dsqrt dist3 resolution this is ALSO byte-golden
               on all 12 testcases (results/ACCURACY.md). The default.
-      'dd'  — f64 arrays on the accelerator (double-double emulation) with
-              exact power-of-2 rescaling to fit f32 range. Deterministic,
-              trajectory-grade (~1e-15/step), much faster for large n.
+      'ddp' (alias 'dd+') — ANSWER-GRADE accelerator path: triple-float32
+              arithmetic (~2^-68/op, beyond IEEE f64's 2^-53 — see
+              ops/tfloat.py) + the same exact power-of-2 rescaling as dd.
+              Runs the graded problems entirely on the TPU.
+      'dd'  — f64 arrays on the accelerator (XLA double-double emulation,
+              ~2^-48/op) with exact rescaling. Deterministic,
+              trajectory-grade (~1e-15/step); superseded by 'ddp' for
+              answers, kept for speed comparisons and as the XLA-native
+              emulation baseline.
       'f32' — float32 fast path with rescaling; throughput mode.
     """
     from . import backend
@@ -96,13 +102,19 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
                                   dist3_mode=cfg.resolved_dist3(precision))
     dtype: object = np.float64
     fast = False
-    if precision in ("dd", "f32"):
+    if precision == "dd+":
+        precision = "ddp"
+    if precision in ("dd", "ddp", "f32"):
         rescale = compute_rescale(scene, eps=run_cfg.eps)
         run_scene = rescale.apply_scene(scene)
         run_cfg = rescale.apply_cfg(run_cfg)
         if precision == "f32":
             dtype = np.float32
             fast = True
+        elif precision == "ddp":
+            # answer-grade triple-f32: rsqrt-form force kernel in tf3
+            # arithmetic (ops/forces.pairwise_accel_tf3)
+            dtype = "tf3"
         else:
             # dd: division form with the cheap dsqrt dist3 (pow would be
             # emulated via exp/log in dd). NB measured on this TPU: XLA

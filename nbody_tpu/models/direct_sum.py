@@ -41,7 +41,9 @@ import numpy as np
 from jax import lax
 
 from ..config import SimConfig
+from ..ops import tfloat
 from ..ops.integrate import symplectic_euler_step
+from ..ops.tfloat import TF3
 
 # Rough device-seconds per (pair-interaction * scenario) on the emulated-f64
 # TPU path — a SAFETY PRIOR only: it sizes the first (probe) chunks of the
@@ -83,18 +85,33 @@ def _solver_fingerprint(scene, cfg: SimConfig, dtype, fast: bool) -> str:
     h = hashlib.sha256()
     for arr in (scene.q, scene.v, scene.m, np.asarray(scene.device_idx)):
         h.update(np.ascontiguousarray(arr).tobytes())
+    dtype_name = dtype if isinstance(dtype, str) else np.dtype(dtype).name
     h.update(repr((scene.n, scene.planet, scene.asteroid,
                    cfg.dt, cfg.eps, cfg.G, cfg.planet_radius,
-                   cfg.missile_speed, cfg.dist3_mode, np.dtype(dtype).name,
+                   cfg.missile_speed, cfg.dist3_mode, dtype_name,
                    bool(fast))).encode())
     return h.hexdigest()
 
 
 def _sq_dist(qa, qb):
     """Squared distance with the serial spec's fp64 op order
-    (dx*dx + dy*dy + dz*dz, samples/nbody.cc:118-121)."""
+    (dx*dx + dy*dy + dz*dz, samples/nbody.cc:118-121). Works on plain
+    arrays and TF3 triples (operator overloads)."""
     d = qa - qb
     return d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
+
+
+def _select(pred, a, b):
+    """jnp.where generalized over the numeric representation."""
+    if isinstance(a, TF3):
+        return tfloat.where(pred, a, b)
+    return jnp.where(pred, a, b)
+
+
+def _minimum(a, b):
+    if isinstance(a, TF3):
+        return tfloat.minimum(a, b)
+    return jnp.minimum(a, b)
 
 
 @dataclasses.dataclass
@@ -104,6 +121,35 @@ class P12Result:
     arrivals: np.ndarray       # (D,) missile-arrival step per device, -2 if never
     q_snaps: np.ndarray        # (D, n, 3) state snapshot at each arrival
     v_snaps: np.ndarray        # (D, n, 3)
+    # full-precision snapshots for the extended-precision ('ddp') path: the
+    # f64 views above lose ~19 of the triple's 72 bits, which would
+    # re-inject f64-class noise at the P3 resume point
+    q_snaps_tf: TF3 | None = None
+    v_snaps_tf: TF3 | None = None
+
+
+def _is_tf_dtype(dtype) -> bool:
+    return isinstance(dtype, str) and dtype == "tf3"
+
+
+def _make_converter(dtype):
+    """Host f64 array -> runtime representation (numpy cast or exact TF3
+    split)."""
+    if _is_tf_dtype(dtype):
+        return lambda a: tfloat.from_f64(np.asarray(a, np.float64))
+    return lambda a: np.asarray(a, dtype)
+
+
+def _host_tf(x: TF3) -> TF3:
+    return TF3(np.asarray(x.hi), np.asarray(x.mid), np.asarray(x.lo))
+
+
+def _ckpt_pack(x):
+    """Checkpoint representation: TF3 -> stacked (3, ...) component array."""
+    if isinstance(x, TF3):
+        return np.stack([np.asarray(x.hi), np.asarray(x.mid),
+                         np.asarray(x.lo)])
+    return np.asarray(x)
 
 
 @functools.partial(
@@ -117,10 +163,17 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
                missile_speed, dist3_mode, planet, asteroid, fast=False):
     """Advance the stacked P1/P2 state over steps (t0, t0+len(fst_chunk)].
     Steps beyond n_steps are masked to the identity, so a ragged final chunk
-    is bit-exact."""
-    f64 = q.dtype
-    r2 = planet_radius * planet_radius
-    sdt = missile_speed * dt                                  # 6e7, exact
+    is bit-exact. The numeric type of q (plain f64/f32 array or TF3 triple)
+    selects the arithmetic throughout."""
+    is_tf = isinstance(q, TF3)
+    if is_tf:
+        pr = tfloat.const(planet_radius)
+        r2 = pr * pr
+        sdt = tfloat.const(missile_speed * dt)
+    else:
+        f64 = q.dtype
+        r2 = planet_radius * planet_radius
+        sdt = missile_speed * dt                              # 6e7, exact
 
     offs = jnp.arange(1, fst_chunk.shape[0] + 1, dtype=jnp.int32)
     xs = (t0.astype(jnp.int32) + offs, fst_chunk)
@@ -132,22 +185,26 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
         m_eff = m0_s + m_half * fst_t
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast)
-        q = jnp.where(in_range, q2, q)
-        v = jnp.where(in_range, v2, v)
+        q = _select(in_range, q2, q)
+        v = _select(in_range, v2, v)
         # Problem 1: running min on the devices-off scenario.
         d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid])
-        min_d2 = jnp.where(in_range, jnp.minimum(min_d2, d2_pa0), min_d2)
+        min_d2 = _select(in_range, _minimum(min_d2, d2_pa0), min_d2)
         # Problem 3 preprocessing runs before the hit check each step
         # (hw5.cu:396-397); they are independent. Arrival: the expanding
         # missile sphere around the planet's CURRENT position first contains
         # the device (hw5.cu:270-274).
         d2_pd = _sq_dist(q[1, planet], q[1, dev_idx])         # (D,)
-        md = sdt * t.astype(f64)
+        if is_tf:
+            tt = t.astype(jnp.float32)                        # t < 2^24: exact
+            md = sdt * TF3(tt, jnp.zeros_like(tt), jnp.zeros_like(tt))
+        else:
+            md = sdt * t.astype(f64)
         arrived = (arr == -2) & (d2_pd < md * md) & in_range
         arr = jnp.where(arrived, t, arr)
         sel = arrived[:, None, None]
-        q_snap = jnp.where(sel, q[1][None], q_snap)
-        v_snap = jnp.where(sel, v[1][None], v_snap)
+        q_snap = _select(sel, q[1][None], q_snap)
+        v_snap = _select(sel, v[1][None], v_snap)
         # Problem 2: first hit step, guarded like hw5.cu:255.
         d2_pa = _sq_dist(q[1, planet], q[1, asteroid])
         hit = jnp.where((hit == -2) & (d2_pa < r2) & in_range, t, hit)
@@ -174,35 +231,38 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     (crash anywhere, rerun the same command, get bit-identical answers).
     """
     n = scene.n
+    is_tf = _is_tf_dtype(dtype)
+    conv = _make_converter(dtype)
     put = functools.partial(jax.device_put, device=device)
-    q0 = np.asarray(scene.q, dtype=dtype)
-    v0 = np.asarray(scene.v, dtype=dtype)
-    m0 = np.asarray(scene.m, dtype=dtype)
-    mask = np.asarray(scene.device_mask(), dtype=dtype)
+    host_dtype = np.float64 if is_tf else dtype
+    q0 = np.asarray(scene.q, dtype=host_dtype)
+    v0 = np.asarray(scene.v, dtype=host_dtype)
+    m0 = np.asarray(scene.m, dtype=host_dtype)
+    mask = np.asarray(scene.device_mask(), dtype=host_dtype)
     D = scene.device_cnt
 
     # Scenario stack: row 0 = devices off (Problem 1, clear_device_m_gpu
     # hw5.cu:217-222), row 1 = devices on (Problem 2).
-    m0_s = put(np.stack([m0 * (1.0 - mask), m0]))
-    m_half = put(0.5 * np.stack([m0 * (1.0 - mask), m0])
-                 * mask[None, :])
+    m0_s = put(conv(np.stack([m0 * (1.0 - mask), m0])))
+    m_half = put(conv(0.5 * np.stack([m0 * (1.0 - mask), m0])
+                      * mask[None, :]))
     dev_idx = put(np.asarray(scene.device_idx, dtype=np.int32))
-    fstd = np.asarray(fst, dtype=dtype)
+    fstd = np.asarray(fst, dtype=host_dtype)
 
     # Step-0 checks (loops include step 0: hw5.cu:368/387 run the check
     # kernels before any update).
     d0 = q0[scene.planet] - q0[scene.asteroid]
     d2_0 = d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
-    r2 = np.asarray(cfg.planet_radius, dtype=dtype) ** 2
+    r2 = np.asarray(cfg.planet_radius, dtype=host_dtype) ** 2
 
     carry = (
-        put(np.stack([q0, q0])),
-        put(np.stack([v0, v0])),
-        put(np.asarray(d2_0)),
+        put(conv(np.stack([q0, q0]))),
+        put(conv(np.stack([v0, v0]))),
+        put(conv(np.asarray(d2_0))),
         put(np.int32(0 if d2_0 < r2 else -2)),
         put(np.full((D,), -2, dtype=np.int32)),
-        put(np.zeros((D, n, 3), dtype=dtype)),
-        put(np.zeros((D, n, 3), dtype=dtype)),
+        put(conv(np.zeros((D, n, 3)))),
+        put(conv(np.zeros((D, n, 3)))),
     )
 
     on_accel = _on_accelerator(device)
@@ -231,10 +291,14 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                 raise ValueError(
                     f"checkpoint {checkpoint_path} is at step {t0}, beyond "
                     f"this run's horizon n_steps={cfg.n_steps}")
-            carry = (put(qc), put(vc), put(extra["min_d2"]),
+            unpack = (lambda a: TF3(a[0], a[1], a[2])) if is_tf else \
+                (lambda a: a)
+            carry = (put(unpack(qc)), put(unpack(vc)),
+                     put(unpack(extra["min_d2"])),
                      put(extra["hit"].astype(np.int32)),
                      put(extra["arr"].astype(np.int32)),
-                     put(extra["q_snap"]), put(extra["v_snap"]))
+                     put(unpack(extra["q_snap"])),
+                     put(unpack(extra["v_snap"])))
     while t0 < cfg.n_steps:
         hc = chunker.start() if chunker is not None else host_chunk
         cs = min(hc, cfg.n_steps - t0)
@@ -242,10 +306,10 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         # at the tail; masked in-kernel). The chunker only ever emits the
         # probe size and one adapted power-of-two multiple of it, so at most
         # two signatures per (n, D) bucket.
-        fst_chunk = np.zeros(hc, dtype=dtype)
+        fst_chunk = np.zeros(hc, dtype=host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
         carry = _p12_chunk(
-            *carry, m0_s, m_half, dev_idx, put(fst_chunk),
+            *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
             put(np.int32(t0)),
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius,
@@ -263,15 +327,26 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         t0 += cs
         if checkpoint_path is not None:
             qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            pack = _ckpt_pack
             save_checkpoint(
-                checkpoint_path, step=t0, q=np.asarray(qd), v=np.asarray(vd),
-                extra={"min_d2": np.asarray(min_d2),
+                checkpoint_path, step=t0, q=pack(qd), v=pack(vd),
+                extra={"min_d2": pack(min_d2),
                        "hit": np.asarray(hit), "arr": np.asarray(arr),
-                       "q_snap": np.asarray(q_snap),
-                       "v_snap": np.asarray(v_snap)},
+                       "q_snap": pack(q_snap),
+                       "v_snap": pack(v_snap)},
                 meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint})
 
     _, _, min_d2, hit, arr, q_snap, v_snap = carry
+    if is_tf:
+        return P12Result(
+            min_dist=float(np.sqrt(tfloat.to_f64(min_d2))),
+            hit_time_step=int(hit),
+            arrivals=np.asarray(arr),
+            q_snaps=tfloat.to_f64(q_snap),
+            v_snaps=tfloat.to_f64(v_snap),
+            q_snaps_tf=_host_tf(q_snap),
+            v_snaps_tf=_host_tf(v_snap),
+        )
     return P12Result(
         min_dist=float(np.sqrt(np.asarray(min_d2))),
         hit_time_step=int(hit),
@@ -301,7 +376,11 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
     early exit and any chunking are bit-exact: they only skip iterations
     that are provably identity on the carry.
     """
-    r2 = planet_radius * planet_radius
+    if isinstance(q, TF3):
+        pr = tfloat.const(planet_radius)
+        r2 = pr * pr
+    else:
+        r2 = planet_radius * planet_radius
     cs = int(chunk_steps)
 
     def step_body(t, carry):
@@ -314,8 +393,8 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast)
         sel = active[:, None, None]
-        q = jnp.where(sel, q2, q)
-        v = jnp.where(sel, v2, v)
+        q = _select(sel, q2, q)
+        v = _select(sel, v2, v)
         d2_pa = _sq_dist(q[:, planet], q[:, asteroid])
         hit_flag = hit_flag | (active & (d2_pa < r2))
         return q, v, hit_flag
@@ -400,14 +479,17 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
     """Run the resumed simulations for the scenario subset `idx` (device
     slots). Returns (len(idx),) bool saved-mask."""
     D = len(idx)
+    is_tf = _is_tf_dtype(dtype)
+    conv = _make_converter(dtype)
+    host_dtype = np.float64 if is_tf else dtype
     eligible = ((p12.arrivals[idx] != -2) &
                 (p12.arrivals[idx] <= p12.hit_time_step))
 
     # Per-scenario masses: device idx[i] destroyed (mass 0) for the whole
     # resumed suffix — every resumed force evaluation happens at t > arrival.
-    m0_scen = np.tile(np.asarray(scene.m, dtype=dtype)[None, :], (D, 1))
+    m0_scen = np.tile(np.asarray(scene.m, dtype=host_dtype)[None, :], (D, 1))
     m0_scen[np.arange(D), np.asarray(scene.device_idx)[idx]] = 0.0
-    device_mask = np.asarray(scene.device_mask(), dtype=dtype)
+    device_mask = np.asarray(scene.device_mask(), dtype=host_dtype)
     m_half_scen = 0.5 * m0_scen * device_mask[None, :]
 
     cs = cfg.chunk_steps
@@ -439,14 +521,20 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             chunker = AdaptiveChunker(per_chunk_sec, n_chunks, floor=1)
 
     put = functools.partial(jax.device_put, device=device)
-    q = put(np.asarray(p12.q_snaps[idx], dtype=dtype))
-    v = put(np.asarray(p12.v_snaps[idx], dtype=dtype))
+    if is_tf:
+        # resume from the FULL-precision snapshots (the f64 views would
+        # re-inject 2^-53 noise right at the resume point)
+        q = put(p12.q_snaps_tf[np.asarray(idx)])
+        v = put(p12.v_snaps_tf[np.asarray(idx)])
+    else:
+        q = put(np.asarray(p12.q_snaps[idx], dtype=dtype))
+        v = put(np.asarray(p12.v_snaps[idx], dtype=dtype))
     hit_flag = put(hit0)
     eligible_j = put(eligible)
     arr_j = put(arr_masked)
-    m0_j = put(m0_scen)
-    m_half_j = put(m_half_scen)
-    fst_j = put(np.asarray(fst, dtype=dtype))
+    m0_j = put(conv(m0_scen))
+    m_half_j = put(conv(m_half_scen))
+    fst_j = put(conv(np.asarray(fst, dtype=host_dtype)))
 
     c = c_start
     while c < n_chunks:

@@ -9,13 +9,20 @@ elementwise tail into the force reduction, replacing the reference's separate
 
 from __future__ import annotations
 
-from .forces import pairwise_accel, pairwise_accel_fast
+from .forces import pairwise_accel, pairwise_accel_fast, pairwise_accel_tf3
+from .tfloat import TF3
 
 
 def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
                           dist3_mode: str = "dsqrt", fast: bool = False):
-    """One integration step. q, v: (..., n, 3); m_eff: (..., n)."""
-    if fast:
+    """One integration step. q, v: (..., n, 3); m_eff: (..., n).
+
+    Accepts plain arrays (f64/f32 paths) or TF3 triples (the answer-grade
+    extended-precision TPU path): the numeric type of the state selects the
+    force kernel."""
+    if isinstance(q, TF3):
+        a = pairwise_accel_tf3(q, m_eff, G=G, eps=eps)
+    elif fast:
         a = pairwise_accel_fast(q, m_eff, G=G, eps=eps)
     else:
         a = pairwise_accel(q, m_eff, G=G, eps=eps, dist3_mode=dist3_mode)

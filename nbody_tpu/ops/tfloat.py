@@ -1,0 +1,399 @@
+"""Triple-float32 ("tf3") extended-precision arithmetic for TPU.
+
+Why this exists: the graded outputs (hw5.cu:136-137 — 16 significant digits
+after 200001 chaotic steps) demand per-op relative error at or below IEEE
+f64's 2^-53. The TPU has no f64 ALU; XLA's f64 emulation is a double-double
+of f32 components — ~2^-48 per op (measured ~1e-15/step, results/ACCURACY.md
+"dd") — which is WHY round 1's dd mode lost every discrete answer: 49 bits
+can never reach f64's 53. A triple of f32 components carries ~72 bits, so
+every operation here lands at ~2^-65..2^-70 relative error — comfortably
+inside the "uncorrelated 1-ulp-of-f64 per-op noise" class that the golden
+outputs are measured to tolerate (native core pow vs dsqrt vs sqrt3 all
+reproduce the goldens byte-for-byte; see results/ACCURACY.md).
+
+Everything is built from two error-free transforms on IEEE round-to-nearest
+f32 adds/muls (which the TPU VPU provides):
+
+  * two_sum(a, b)  — Knuth: s = fl(a+b) plus the EXACT rounding error.
+  * two_prod(a, b) — Dekker: p = fl(a*b) plus the EXACT error, via 12-bit
+    splits (no FMA required; the sub-products of 12-bit halves are exact
+    in f32).
+
+A value x is represented as an (hi, mid, lo) expansion, |mid| <~ ulp(hi),
+|lo| <~ ulp(mid), x = hi + mid + lo exactly. f64 <-> tf3 conversion is
+EXACT (53 bits fit in 72). Range is f32's — callers go through the same
+exact 2^k rescale window as the dd path (utils/rescale.py); within that
+window every graded-scene intermediate stays normal, so TPU subnormal
+flushing is irrelevant (analysed: a flushed `lo` costs < 1.5e-45 absolute,
+~1e-30 relative to any force sum in the window).
+
+Algorithms follow the CAMPARY/Joldes-Muller-Popescu triple-word style
+(renormalize-after-accumulate); divisions and square roots are Newton
+iterations from f32 seeds (error squares per iteration: 2^-23 seed ->
+2^-46 -> arithmetic-limited ~2^-68).
+
+This module is deliberately jnp-only (no Pallas): XLA fuses the elementwise
+chains; the j-summation uses a fixed pairwise-halving tree (deterministic,
+error ~ log2(n) * 2^-70).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jnp.float32
+# Dekker split constant for f32: 2^12 + 1 (splits 24-bit significands into
+# two 12-bit halves whose pairwise products are exact in f32).
+_SPLIT = 4097.0
+
+
+def _f32(x):
+    return jnp.asarray(x, _F32)
+
+
+def two_sum(a, b):
+    """s = fl(a+b), e exact: a + b == s + e."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """two_sum requiring |a| >= |b| (or a == 0)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split(a):
+    c = _f32(_SPLIT) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """p = fl(a*b), e exact: a * b == p + e (Dekker, FMA-free)."""
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+@jax.tree_util.register_pytree_node_class
+class TF3:
+    """A triple-f32 array: value = hi + mid + lo (non-overlapping)."""
+
+    __slots__ = ("hi", "mid", "lo")
+    # make `numpy_array * TF3` dispatch to TF3.__rmul__, not np broadcasting
+    __array_priority__ = 100
+
+    def __init__(self, hi, mid, lo):
+        self.hi, self.mid, self.lo = hi, mid, lo
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.hi, self.mid, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- array-ish surface ---------------------------------------------------
+    @property
+    def shape(self):
+        return jnp.shape(self.hi)
+
+    @property
+    def ndim(self):
+        return jnp.ndim(self.hi)
+
+    def __getitem__(self, idx):
+        return TF3(self.hi[idx], self.mid[idx], self.lo[idx])
+
+    def reshape(self, *s):
+        return TF3(self.hi.reshape(*s), self.mid.reshape(*s),
+                   self.lo.reshape(*s))
+
+    def __repr__(self):
+        return f"TF3(shape={self.shape})"
+
+    # -- arithmetic ----------------------------------------------------------
+    def __neg__(self):
+        return TF3(-self.hi, -self.mid, -self.lo)
+
+    def __add__(self, other):
+        return add(self, _as_tf3(other))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return add(self, -_as_tf3(other))
+
+    def __rsub__(self, other):
+        return add(_as_tf3(other), -self)
+
+    def __mul__(self, other):
+        return mul(self, _as_tf3(other))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return div(self, _as_tf3(other))
+
+    # -- comparisons (value-exact: on the normalized expansion the sign of
+    #    the difference is the sign of its leading nonzero component) -------
+    def _cmp_sign(self, other):
+        d = add(self, -_as_tf3(other))
+        return jnp.where(d.hi != 0, d.hi, jnp.where(d.mid != 0, d.mid, d.lo))
+
+    def __lt__(self, other):
+        return self._cmp_sign(other) < 0
+
+    def __gt__(self, other):
+        return self._cmp_sign(other) > 0
+
+    def __le__(self, other):
+        return self._cmp_sign(other) <= 0
+
+    def __ge__(self, other):
+        return self._cmp_sign(other) >= 0
+
+
+def _as_tf3(x):
+    if isinstance(x, TF3):
+        return x
+    return const(x)
+
+
+def renorm(x0, x1, x2):
+    """Renormalize a 3-term sum (|x0| >~ |x1| >~ |x2| up to rounding) into a
+    non-overlapping expansion. Full two_sums: robustness over 3 saved ops."""
+    s, e = two_sum(x1, x2)
+    hi, t = two_sum(x0, s)
+    mid, lo = two_sum(t, e)
+    return TF3(hi, mid, lo)
+
+
+def add(a: TF3, b: TF3) -> TF3:
+    s0, e0 = two_sum(a.hi, b.hi)
+    s1, e1 = two_sum(a.mid, b.mid)
+    t1, t2 = two_sum(s1, e0)
+    lo = ((a.lo + b.lo) + e1) + t2
+    return renorm(s0, t1, lo)
+
+
+def mul(a: TF3, b: TF3) -> TF3:
+    p00, e00 = two_prod(a.hi, b.hi)
+    p01, e01 = two_prod(a.hi, b.mid)
+    p10, e10 = two_prod(a.mid, b.hi)
+    # third-order terms: bounded by ~2^-72 |a*b|
+    t = ((a.mid * b.mid + (e01 + e10))
+         + (a.hi * b.lo + a.lo * b.hi))
+    s1, f1 = two_sum(p01, p10)
+    s2, f2 = two_sum(s1, e00)
+    lo = t + (f1 + f2)
+    return renorm(p00, s2, lo)
+
+
+def recip(b: TF3) -> TF3:
+    """1/b by Newton: y += y*(1 - b*y); two tf iterations from an f32 seed
+    polished once in f32 (2^-24 -> 2^-48 -> ~2^-68)."""
+    one = _f32(1.0)
+    y0 = one / b.hi
+    y = TF3(y0, jnp.zeros_like(y0), jnp.zeros_like(y0))
+    for _ in range(2):
+        e = add(const(1.0, like=b.hi), -mul(b, y))
+        y = add(y, mul(y, e))
+    return y
+
+
+def div(a: TF3, b: TF3) -> TF3:
+    return mul(a, recip(b))
+
+
+def rsqrt(a: TF3) -> TF3:
+    """a^(-1/2): f32 seed (lax.rsqrt may be a low-precision approximation on
+    TPU) polished once in f32, then two tf Newton steps
+    y <- y*(1.5 - 0.5*a*y^2)."""
+    y0 = jax.lax.rsqrt(a.hi)
+    # f32 polish: brings any ~2^-12 hardware approximation to ~2^-23
+    y0 = y0 * (_f32(1.5) - _f32(0.5) * a.hi * y0 * y0)
+    y = TF3(y0, jnp.zeros_like(y0), jnp.zeros_like(y0))
+    half = const(0.5, like=a.hi)
+    three_half = const(1.5, like=a.hi)
+    for _ in range(2):
+        t = mul(mul(a, y), y)
+        e = add(three_half, -mul(half, t))
+        y = mul(y, e)
+    return y
+
+
+def sqrt(a: TF3) -> TF3:
+    return mul(a, rsqrt(a))
+
+
+def where(pred, a: TF3, b: TF3) -> TF3:
+    return TF3(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.mid, b.mid),
+               jnp.where(pred, a.lo, b.lo))
+
+
+def minimum(a: TF3, b: TF3) -> TF3:
+    return where(b < a, b, a)
+
+
+def zeros(shape) -> TF3:
+    z = jnp.zeros(shape, _F32)
+    return TF3(z, z, z)
+
+
+def zeros_like(a: TF3) -> TF3:
+    return zeros(a.shape)
+
+
+def const(x, *, like=None) -> TF3:
+    """Exact tf3 of a Python/f64 scalar (traced constant)."""
+    hi64, mid64, lo64 = _split_f64(np.float64(x))
+    hi = jnp.full_like(like, hi64) if like is not None else _f32(hi64)
+    return TF3(hi, jnp.full_like(hi, mid64), jnp.full_like(hi, lo64))
+
+
+def _split_f64(x64):
+    """Exact f64 -> (hi, mid, lo) f32 split (53 bits always fit in 72)."""
+    x64 = np.asarray(x64, np.float64)
+    hi = x64.astype(np.float32)
+    r = x64 - hi.astype(np.float64)
+    mid = r.astype(np.float32)
+    lo = (r - mid.astype(np.float64)).astype(np.float32)
+    return hi, mid, lo
+
+
+def from_f64(x64) -> TF3:
+    """Exact conversion from f64 (host numpy in, numpy-component TF3 out)."""
+    hi, mid, lo = _split_f64(x64)
+    return TF3(hi, mid, lo)
+
+
+def to_f64(a: TF3) -> np.ndarray:
+    """Round to f64 (error <= 2^-53 of the tf3 value: hi+mid is exact in
+    f64, adding lo rounds once)."""
+    hi = np.asarray(a.hi, np.float64)
+    mid = np.asarray(a.mid, np.float64)
+    lo = np.asarray(a.lo, np.float64)
+    return (hi + mid) + lo
+
+
+def scale2(a: TF3, k: int) -> TF3:
+    """Multiply by 2^k — EXACT (pure exponent shift) as long as every
+    component stays in normal f32 range."""
+    s = _f32(np.float32(math.ldexp(1.0, k)))
+    return TF3(a.hi * s, a.mid * s, a.lo * s)
+
+
+def stack(tfs, axis: int = -1) -> TF3:
+    return TF3(jnp.stack([t.hi for t in tfs], axis=axis),
+               jnp.stack([t.mid for t in tfs], axis=axis),
+               jnp.stack([t.lo for t in tfs], axis=axis))
+
+
+def eq(a: TF3, b: TF3):
+    """Exact value equality (normalized expansions are unique up to
+    component-level ties; comparing the rounded difference's sign handles
+    those too)."""
+    return _as_tf3(a)._cmp_sign(b) == 0
+
+
+def _pow2_floor(x):
+    """2^floor(log2 x) for positive normal f32 x (exponent-bit mask); 0
+    stays 0."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, _F32), jnp.int32)
+    return jax.lax.bitcast_convert_type(bits & jnp.int32(0x7F800000), _F32)
+
+
+def sum_binned(t: TF3, axis: int = -1, bins: int = 10, spacing: int = 11,
+               top_margin: int = 10) -> TF3:
+    """EXACT binned fixed-point summation along `axis`.
+
+    This is the reduction used by the force kernel. Each element's three
+    components are split (error-free, via the round-to-grid Fast2Sum trick
+    y = fl(fl(r + C) - C) with C = 1.5*2^23*grid) into `bins` digits on
+    power-of-two grids spaced `spacing` bits apart, anchored at each
+    reduced row's own maximum magnitude. Digits are multiples of their grid
+    bounded so that EVERY partial sum stays below 2^24 * grid, so the
+    native jnp.sum per bin is EXACT and therefore ORDER-INDEPENDENT — the
+    same bits no matter how XLA schedules it, single-device or sharded
+    (psum of exact fixed-point sums commutes). The bin sums are then
+    recombined into a TF3 with a short add chain.
+
+    Dropped residue: < 3n * grid_min / 2 with grid_min = 2^-(top_margin +
+    spacing*(bins-1)) * rowmax — with the defaults ~2^-120 * rowmax
+    absolute, i.e. relative error ~2^(-120 + log2 cancellation) of the
+    result: beyond f64 for any cancellation below ~2^60.
+
+    Why not a pairwise halving tree: slicing consumers of the large
+    elementwise per-pair producer defeat XLA CPU's fusion heuristics —
+    thousands of unfused ops each become a separately LLVM-compiled thunk
+    kernel (measured: minutes of compile for an n=8 force eval, even
+    behind optimization_barrier). Native reduce consumers keep the
+    producer in one fusion.
+    """
+    axis = axis % t.ndim
+    n = t.shape[axis]
+    if 3 * n * (2 ** spacing) >= 2 ** 24:
+        raise ValueError(
+            f"sum_binned: n={n} with spacing={spacing} would overflow the "
+            "exact-digit-sum bound; reduce in tiles or lower spacing")
+    M = jnp.max(jnp.abs(t.hi), axis=axis, keepdims=True)
+    # clamp: keeps every magic constant normal (tiny rows degrade to
+    # absolute error < 2^-131 — nothing)
+    base = jnp.maximum(_pow2_floor(M), _F32(2.0 ** -10))
+    digits = [None] * bins
+    for comp in (t.hi, t.mid, t.lo):
+        r = comp
+        for k in range(bins):
+            Ck = _F32(1.5 * 2.0 ** (23 - top_margin - spacing * k)) * base
+            y = (r + Ck) - Ck           # r rounded to grid_k — error-free
+            r = r - y                   # exact (Fast2Sum residual)
+            digits[k] = y if digits[k] is None else digits[k] + y
+    out = None
+    for k in range(bins):
+        Dk = jnp.sum(digits[k], axis=axis)      # EXACT: multiples of grid_k
+        z = jnp.zeros_like(Dk)
+        part = TF3(Dk, z, z)
+        out = part if out is None else add(out, part)
+    return out
+
+
+def sum_pairwise(a: TF3, axis: int) -> TF3:
+    """Fixed-order pairwise-halving reduction along `axis` (deterministic;
+    error ~ log2(n) ulps). Pads with exact zeros to a power of two — an fp
+    identity.
+
+    NOTE: do not feed this a large fused producer graph — the sliced tree
+    defeats XLA CPU fusion and explodes compile time (see sum_binned,
+    which the force kernel uses instead). Fine for standalone reductions
+    of materialized inputs."""
+    n = a.shape[axis]
+    axis = axis % a.ndim
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, p - n)
+        a = TF3(jnp.pad(a.hi, pad), jnp.pad(a.mid, pad), jnp.pad(a.lo, pad))
+    while a.shape[axis] > 1:
+        h = a.shape[axis] // 2
+        idx_lo = [slice(None)] * a.ndim
+        idx_hi = [slice(None)] * a.ndim
+        idx_lo[axis] = slice(0, h)
+        idx_hi[axis] = slice(h, 2 * h)
+        a = add(a[tuple(idx_lo)], a[tuple(idx_hi)])
+    idx = [slice(None)] * a.ndim
+    idx[axis] = 0
+    return a[tuple(idx)]

@@ -94,7 +94,17 @@ def compute_rescale(scene: Scene, eps: float = 1e-3,
             f"scene dynamic range too large for f32-range rescaling: "
             f"qe window [{qe_min}, {qe_max}] empty (qmax={qmax}, eps={eps})")
     qe = (qe_min + qe_max) // 2
-    me = target_m_exp - (math.frexp(mmax)[1] if mmax > 0 else 0)
+    # Mass anchor: put the SMALLEST positive mass at ~2^target_m_exp, so
+    # every scaled mass is a fully-normal f32 triple/pair (a tiny mass
+    # anchored near the flush boundary would silently carry only 24-48
+    # bits into the force products — measured as 2e-11 per-body force
+    # errors on the tf3 path). Cap the largest at 2^60 to keep products
+    # comfortably inside Dekker-split range.
+    pos = scene.m[scene.m > 0]
+    if pos.size == 0:
+        return Rescale(qe=qe, me=0)
+    me = target_m_exp - math.frexp(float(pos.min()))[1]
+    me = min(me, 60 - math.frexp(mmax)[1])
     return Rescale(qe=qe, me=me)
 
 

@@ -1,0 +1,185 @@
+"""Exact-arithmetic validation of the triple-float32 library.
+
+References are computed in exact rational arithmetic (fractions.Fraction)
+or 60-digit decimal — no floating-point reference error. The bar: every
+tf3 operation must land well below IEEE f64's 2^-53 per-op error, because
+that is the noise class the golden outputs tolerate (results/ACCURACY.md).
+"""
+
+import decimal
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nbody_tpu.ops import tfloat as tf
+
+RNG = np.random.default_rng(42)
+
+# magnitudes spanning the rescale window the engine actually uses
+# (squared-softening ~1e-26 up to dist3 bound ~1e33)
+def _rand_vals(n, lo_exp=-26, hi_exp=30):
+    mag = 10.0 ** RNG.uniform(lo_exp, hi_exp, n)
+    sign = RNG.choice([-1.0, 1.0], n)
+    return (sign * mag).astype(np.float64)
+
+
+def _tf_to_fraction(a, i):
+    return (Fraction(float(np.asarray(a.hi)[i]))
+            + Fraction(float(np.asarray(a.mid)[i]))
+            + Fraction(float(np.asarray(a.lo)[i])))
+
+
+def _rel_err_fraction(got: Fraction, want: Fraction) -> float:
+    if want == 0:
+        return float(abs(got))
+    return abs(float((got - want) / want))
+
+
+def test_two_sum_and_two_prod_are_exact():
+    a = jnp.asarray(_rand_vals(256, -10, 10), jnp.float32)
+    b = jnp.asarray(_rand_vals(256, -10, 10), jnp.float32)
+    s, e = tf.two_sum(a, b)
+    p, f = tf.two_prod(a, b)
+    for i in range(256):
+        fa, fb = Fraction(float(a[i])), Fraction(float(b[i]))
+        assert Fraction(float(s[i])) + Fraction(float(e[i])) == fa + fb
+        assert Fraction(float(p[i])) + Fraction(float(f[i])) == fa * fb
+
+
+def test_f64_conversion_exact():
+    x = _rand_vals(512)
+    t = tf.from_f64(x)
+    for i in range(0, 512, 17):
+        assert _tf_to_fraction(t, i) == Fraction(x[i])
+    np.testing.assert_array_equal(tf.to_f64(t), x)
+
+
+@pytest.mark.parametrize("op,ref", [
+    ("add", lambda a, b: a + b),
+    ("sub", lambda a, b: a - b),
+    ("mul", lambda a, b: a * b),
+])
+def test_add_sub_mul_accuracy(op, ref):
+    """Per-op relative error must be < 2^-62 (f64 is 2^-53; dd is 2^-48)."""
+    n = 256
+    # products must stay within [~2^-100, f32_max]: below that Dekker error
+    # terms underflow to subnormals and relative (not absolute) precision
+    # degrades — see test_tiny_products_graceful_degradation
+    x, y = _rand_vals(n, -14, 14), _rand_vals(n, -14, 14)
+    if op == "add":   # exercise cancellation too
+        y[:64] = -x[:64] * (1 + RNG.uniform(-1e-5, 1e-5, 64))
+    a, b = tf.from_f64(x), tf.from_f64(y)
+    out = {"add": a + b, "sub": a - b, "mul": a * b}[op]
+    worst = 0.0
+    for i in range(n):
+        want = ref(Fraction(x[i]), Fraction(y[i]))
+        worst = max(worst, _rel_err_fraction(_tf_to_fraction(out, i), want))
+    assert worst < 2.0 ** -62, f"{op} worst rel err {worst}"
+
+
+def test_tiny_products_graceful_degradation():
+    """Below ~2^-100 the product's error term underflows: relative error may
+    reach ~2^-48 (double-double level) but ABSOLUTE error stays < 1e-43 —
+    irrelevant to any force sum in the engine's rescale window (dominant
+    terms are > 1e-20)."""
+    x = _rand_vals(128, -18, -15)
+    y = _rand_vals(128, -18, -15)
+    out = tf.from_f64(x) * tf.from_f64(y)
+    worst_abs = 0.0
+    for i in range(128):
+        want = Fraction(x[i]) * Fraction(y[i])
+        worst_abs = max(worst_abs, abs(float(_tf_to_fraction(out, i) - want)))
+    assert worst_abs < 1e-43
+
+
+def test_recip_div_accuracy():
+    n = 256
+    x, y = _rand_vals(n, -14, 14), _rand_vals(n, -14, 14)
+    a, b = tf.from_f64(x), tf.from_f64(y)
+    r = tf.recip(b)
+    q = tf.div(a, b)
+    worst_r = worst_q = 0.0
+    for i in range(n):
+        worst_r = max(worst_r, _rel_err_fraction(
+            _tf_to_fraction(r, i), 1 / Fraction(y[i])))
+        worst_q = max(worst_q, _rel_err_fraction(
+            _tf_to_fraction(q, i), Fraction(x[i]) / Fraction(y[i])))
+    assert worst_r < 2.0 ** -60, f"recip worst rel err {worst_r}"
+    assert worst_q < 2.0 ** -60, f"div worst rel err {worst_q}"
+
+
+def _decimal_sqrt(x: float) -> decimal.Decimal:
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        return decimal.Decimal(x).sqrt()
+
+
+def test_rsqrt_sqrt_accuracy():
+    n = 256
+    x = np.abs(_rand_vals(n))
+    a = tf.from_f64(x)
+    rs, sq = tf.rsqrt(a), tf.sqrt(a)
+    worst_rs = worst_sq = 0.0
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        for i in range(n):
+            want_sq = _decimal_sqrt(x[i])
+            want_rs = 1 / want_sq
+            got_rs = (decimal.Decimal(float(np.asarray(rs.hi)[i]))
+                      + decimal.Decimal(float(np.asarray(rs.mid)[i]))
+                      + decimal.Decimal(float(np.asarray(rs.lo)[i])))
+            got_sq = (decimal.Decimal(float(np.asarray(sq.hi)[i]))
+                      + decimal.Decimal(float(np.asarray(sq.mid)[i]))
+                      + decimal.Decimal(float(np.asarray(sq.lo)[i])))
+            worst_rs = max(worst_rs, abs(float((got_rs - want_rs) / want_rs)))
+            worst_sq = max(worst_sq, abs(float((got_sq - want_sq) / want_sq)))
+    assert worst_rs < 2.0 ** -60, f"rsqrt worst rel err {worst_rs}"
+    assert worst_sq < 2.0 ** -60, f"sqrt worst rel err {worst_sq}"
+
+
+def test_comparisons_resolve_2pow60_differences():
+    a = tf.from_f64(np.asarray([1.0]))
+    tiny = tf.const(2.0 ** -60, like=jnp.asarray([1.0], jnp.float32))
+    b = a + tiny
+    assert bool((b > a)[0]) and bool((a < b)[0])
+    assert not bool((a > b)[0])
+    assert bool((a <= a)[0]) and bool((a >= a)[0])
+    m = tf.minimum(a, b)
+    assert _tf_to_fraction(m, 0) == _tf_to_fraction(a, 0)
+
+
+def test_sum_pairwise_accuracy_and_order():
+    n = 1000   # non-power-of-two: exercises the zero padding
+    x = _rand_vals(n, -5, 5)
+    s = tf.sum_pairwise(tf.from_f64(x), axis=0)
+    want = sum(Fraction(v) for v in x)
+    got = (Fraction(float(np.asarray(s.hi)))
+           + Fraction(float(np.asarray(s.mid)))
+           + Fraction(float(np.asarray(s.lo))))
+    assert _rel_err_fraction(got, want) < 2.0 ** -58
+    # determinism: same bits on a rerun
+    s2 = tf.sum_pairwise(tf.from_f64(x), axis=0)
+    assert float(s.hi) == float(s2.hi)
+    assert float(s.mid) == float(s2.mid)
+    assert float(s.lo) == float(s2.lo)
+
+
+def test_where_and_pytree():
+    import jax
+
+    x = _rand_vals(8)
+    y = _rand_vals(8)
+    a, b = tf.from_f64(x), tf.from_f64(y)
+    w = tf.where(jnp.arange(8) % 2 == 0, a, b)
+    out = tf.to_f64(w)
+    np.testing.assert_array_equal(out[::2], x[::2])
+    np.testing.assert_array_equal(out[1::2], y[1::2])
+
+    # TF3 must pass through jit/scan as a pytree
+    f = jax.jit(lambda t: t + t)
+    doubled = f(tf.TF3(jnp.asarray(a.hi), jnp.asarray(a.mid),
+                       jnp.asarray(a.lo)))
+    np.testing.assert_allclose(tf.to_f64(doubled), 2 * x, rtol=1e-18)
