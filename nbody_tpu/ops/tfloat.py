@@ -22,10 +22,13 @@ f32 adds/muls (which the TPU VPU provides):
 A value x is represented as an (hi, mid, lo) expansion, |mid| <~ ulp(hi),
 |lo| <~ ulp(mid), x = hi + mid + lo exactly. f64 <-> tf3 conversion is
 EXACT (53 bits fit in 72). Range is f32's — callers go through the same
-exact 2^k rescale window as the dd path (utils/rescale.py); within that
-window every graded-scene intermediate stays normal, so TPU subnormal
-flushing is irrelevant (analysed: a flushed `lo` costs < 1.5e-45 absolute,
-~1e-30 relative to any force sum in the window).
+exact 2^k rescale window as the dd path (utils/rescale.py). XLA flushes
+f32 subnormals to zero (measured on both CPU and TPU backends), so full
+~2^-65 relative precision holds only while a result's error terms stay
+normal: |result| >= ~2^-56. Below that, relative error degrades gracefully
+toward the dd level while absolute error stays < ~2^-126; the force kernel
+keeps every contribution in the healthy window via the rescale mass gauge
+and static power-of-two shifts (ops/forces.pairwise_accel_tf3).
 
 Algorithms follow the CAMPARY/Joldes-Muller-Popescu triple-word style
 (renormalize-after-accumulate); divisions and square roots are Newton
