@@ -105,7 +105,11 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     if precision == "dd+":
         precision = "ddp"
     if precision in ("dd", "ddp", "f32"):
-        rescale = compute_rescale(scene, eps=run_cfg.eps)
+        # ddp additionally anchors the acceleration/velocity magnitudes
+        # inside the tf3 subnormal-flush-safe window (see rescale.py)
+        rescale = compute_rescale(scene, eps=run_cfg.eps,
+                                  anchor_accel=(precision == "ddp"),
+                                  G=run_cfg.G)
         run_scene = rescale.apply_scene(scene)
         run_cfg = rescale.apply_cfg(run_cfg)
         if precision == "f32":

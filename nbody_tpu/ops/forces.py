@@ -51,25 +51,38 @@ def pairwise_accel(q, m_eff, *, G: float, eps: float,
     return terms.sum(axis=-2)                           # reduce over j
 
 
-def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float, shift: int = 32):
-    """Extended-precision (triple-float32, ~2^-68/op) accelerations — the
+def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
+    """Extended-precision (triple-float32, ~2^-64/op) accelerations — the
     answer-grade TPU path (precision 'ddp'). Same physics as pairwise_accel
     (hw5.cu:199-210), rsqrt formulation.
 
-    Flush-safety (XLA flushes f32 subnormals — measured on both the XLA CPU
-    backend and assumed on TPU): any materialized value below ~2e-31 loses
-    its third (|x| < 3.3e-24) or second (|x| < 2e-31) component and with it
-    the answer-grade precision. Two intermediates are at risk:
+    Flush-safety: XLA flushes f32 subnormals to zero (measured), so a tf3
+    value keeps full relative precision only while its ~2^-70-level error
+    terms stay normal, i.e. |value| >= ~2^-56. In the engine's rescale
+    window d^2 spans ~2^100 across pairs and d^-3 spans ~2^150 — far beyond
+    the ~2^90 healthy band, so NO static shift can protect the whole kernel
+    (a single 2^32 shift was measured to leave far-pair weights at ~2^-50
+    relative error, worse than f64). Every wide-range intermediate therefore
+    gets a DYNAMIC exact power-of-two gauge:
 
-      * 1/d^3 for far pairs (~1e-33 in the rescale window): kept in a
-        2^shift-scaled domain end-to-end — the per-pair weights, terms and
-        the j-sum all carry the factor 2^shift and are only unshifted once,
-        exactly, after the reduction.
-      * d^(-3/2) at coincident pairs (d2 == eps^2, i.e. the i==j diagonal
-        and zero-mass pad bodies at the same point): rsqrt(eps'^2)^3 * 2^s
-        overflows f32. Those pairs contribute exactly zero (the numerator
-        dq is exactly 0), so d2 is replaced by 1 there — semantics-exact,
-        mirroring the serial spec's `continue` (samples/nbody.cc:59-60).
+      * per-pair: d2 is normalized by its own even exponent e2 to [1, 4);
+        rsqrt/cube run entirely in (0.125, 1] — the healthiest band there
+        is — and the folded-out factor 2^(-3*e2/2) is re-applied to the
+        final per-pair term as one exact exponent-arithmetic scale.
+      * per-row (i): each row's terms are anchored so the largest sits at
+        ~2^30 before the reduction; terms more than ~105 bits below the
+        row max flush to zero — absolute error ~2^-105 of the row's
+        acceleration, far beyond f64. The anchor is removed exactly after
+        the sum.
+      * masses: G*m_j lifted so the largest is ~2^16 (lightest masses
+        otherwise sit near the flush boundary), removed in the same final
+        unscale.
+
+    Coincident pairs (d2 == eps^2 exactly: the i==j diagonal and zero-mass
+    pad bodies at the same point) contribute exactly zero (the numerator dq
+    is exactly 0); d2 is replaced by 1 there so the cube stays finite —
+    semantics-exact, mirroring the serial spec's `continue`
+    (samples/nbody.cc:59-60).
 
     q: TF3 (..., n, 3); m_eff: TF3 (..., n). Returns TF3 (..., n, 3).
     """
@@ -85,29 +98,42 @@ def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float, shift: int = 32):
     d2 = dx * dx + dy * dy + dz * dz + eps2
     coincident = tf.eq(d2, eps2)   # |dq|^2 rounds to 0 only for dq == 0
     d2s = tf.where(coincident, tf.const(1.0, like=d2.hi), d2)
-    rinv = tf.rsqrt(d2s)
-    rinv3_s = (rinv * rinv) * tf.scale2(rinv, shift)   # = d^-3 * 2^shift
-    # Mass gauge: G*m_j for the lightest bodies can sit near the f32 flush
-    # boundary (~1e-35 in the rescale window), where its triple loses the
-    # mid/lo components (2^-24-level per-term force error — measured as
-    # 2e-11 per-body errors when a tiny mass is a body's dominant puller).
-    # Lift all G*m products by a traced power of two anchored so the
-    # LARGEST sits at ~2^16, and unshift the final sum exactly.
+    # per-pair even-exponent gauge: d2n = d2 * 2^-e2 in [1, 4)
+    e2 = tf.exp_bits(d2s.hi) & jnp.int32(~1)        # round down to even
+    d2n = tf.scale_dyn(d2s, tf.exp2_i32(-e2))
+    rinvn = tf.rsqrt(d2n)                           # in (0.5, 1]
+    rinv3n = (rinvn * rinvn) * rinvn                # in (0.125, 1]
+    pe = jnp.int32(-3) * (e2 >> 1)                  # d^-3 = rinv3n * 2^pe
+    # Mass gauge: anchor the largest |G*m| at ~2^16 (exact 2^k lift).
     mx = jnp.max(m_eff.hi)
     gm_mag = jnp.float32(abs(G)) * mx
-    gscale = tf._pow2_floor(jnp.where(gm_mag > 0,
-                                      jnp.float32(2.0 ** 16) / gm_mag,
-                                      jnp.float32(1.0)))
+    gscale_e = jnp.where(gm_mag > 0,
+                         jnp.int32(16) - tf.exp_bits(gm_mag), jnp.int32(0))
+    gscale = tf.exp2_i32(gscale_e)
     g0 = tf.const(G, like=m_eff.hi)
     g_s = tf.TF3(g0.hi * gscale, g0.mid * gscale, g0.lo * gscale)  # exact
     gm = g_s * m_eff
     gm_j = tf.TF3(gm.hi[..., None, :], gm.mid[..., None, :],
-                  gm.lo[..., None, :])               # broadcast over i
-    w_s = gm_j * rinv3_s                     # (..., i, j) * 2^shift * gscale
-    a_s = tf.stack([tf.sum_binned(w_s * dc, axis=-1)
-                    for dc in (dx, dy, dz)], axis=-1)
-    inv = (jnp.float32(1.0) / gscale) * jnp.float32(2.0 ** -shift)  # exact
-    return tf.TF3(a_s.hi * inv, a_s.mid * inv, a_s.lo * inv)
+                  gm.lo[..., None, :])              # broadcast over i
+    w = gm_j * rinv3n                               # (..., i, j), healthy
+    comps = []
+    for dc in (dx, dy, dz):
+        tn = w * dc                                 # term * 2^-pe * gscale
+        # row anchor: log2 of each pair's true term is exp_bits(tn.hi) + pe
+        # (within 1 bit); anchor the row max at 2^30.
+        lt = tf.exp_bits(tn.hi) + pe                # (..., i, j)
+        row_l = jnp.max(lt, axis=-1)                # (..., i)
+        g = tf.exp2_i32(jnp.int32(30) - row_l[..., None] + pe)
+        s = tf.sum_binned(tf.scale_dyn(tn, g), axis=-1)
+        # exact unscale: remove the row anchor and the mass gauge. Applied
+        # as two half-exponent multiplies so the FACTOR never underflows
+        # f32 even for rows whose acceleration sits near (or below) the
+        # flush threshold — only the value itself may flush, which is an
+        # absolute ~2^-126-class loss, far beyond f64.
+        ue = row_l - jnp.int32(30) - gscale_e
+        s = tf.scale_dyn(s, tf.exp2_i32(ue - (ue >> 1)))
+        comps.append(tf.scale_dyn(s, tf.exp2_i32(ue >> 1)))
+    return tf.stack(comps, axis=-1)
 
 
 def pairwise_accel_fast(q, m_eff, *, G: float, eps: float):

@@ -311,6 +311,28 @@ def eq(a: TF3, b: TF3):
     return _as_tf3(a)._cmp_sign(b) == 0
 
 
+def exp_bits(x):
+    """floor(log2 |x|) of a normal f32 as int32; -127 for (+/-) zero."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, _F32), jnp.int32)
+    return ((bits >> 23) & jnp.int32(0xFF)) - jnp.int32(127)
+
+
+def exp2_i32(e):
+    """2^e as f32 from an int32 exponent; exponents below the normal range
+    return 0.0 (the deliberate "this factor flushes the value" case), above
+    it clamp to 2^127."""
+    ec = jnp.clip(e, -126, 127)
+    val = jax.lax.bitcast_convert_type(
+        ((ec + jnp.int32(127)) << 23).astype(jnp.int32), _F32)
+    return jnp.where(e >= -126, val, _F32(0.0))
+
+
+def scale_dyn(a: TF3, s) -> TF3:
+    """Multiply by a traced array of powers of two — exact per component
+    while each scaled component stays in normal f32 range."""
+    return TF3(a.hi * s, a.mid * s, a.lo * s)
+
+
 def _pow2_floor(x):
     """2^floor(log2 x) for positive normal f32 x (exponent-bit mask); 0
     stays 0."""

@@ -63,7 +63,9 @@ class Rescale:
 
 def compute_rescale(scene: Scene, eps: float = 1e-3,
                     growth_margin: float = 16.0,
-                    target_m_exp: int = 0) -> Rescale:
+                    target_m_exp: int = 0,
+                    anchor_accel: bool = False,
+                    G: float = 6.674e-11) -> Rescale:
     """Pick exponent shifts keeping every force-kernel intermediate within
     float32 range (which is also the TPU double-double f64 range).
 
@@ -76,6 +78,17 @@ def compute_rescale(scene: Scene, eps: float = 1e-3,
         => upper bound on qe.
     Raises if the window is empty (the scene's dynamic range exceeds what
     a float32-range pipeline can represent).
+
+    `anchor_accel` (the tf3/'ddp' path): XLA flushes f32 subnormals, so a
+    tf3 triple keeps all three limbs only for |value| >= ~2^-78, and the
+    per-body accelerations/velocities must stay above that for the state
+    update `v += a*dt; q += v*dt` to retain answer-grade precision (a
+    gauge inside the force kernel cannot help — `a` crosses the kernel
+    boundary as a plain tf3 value). Computes the t=0 accelerations in f64
+    on the host (O(n^2), graded scenes are tiny) and raises the window so
+    the smallest per-body |a| and nonzero |v| sit at ~2^-58 — 20 bits of
+    shrink headroom before any limb flushes — subject to the range upper
+    bound, which wins if they conflict.
     """
     f32_max = 3.4e38
     qmax = float(np.max(np.abs(scene.q)))
@@ -94,6 +107,29 @@ def compute_rescale(scene: Scene, eps: float = 1e-3,
             f"scene dynamic range too large for f32-range rescaling: "
             f"qe window [{qe_min}, {qe_max}] empty (qmax={qmax}, eps={eps})")
     qe = (qe_min + qe_max) // 2
+    if anchor_accel:
+        # The tf3 kernel normalizes every wide-range intermediate with
+        # per-pair/per-row exponent gauges (ops/forces.pairwise_accel_tf3),
+        # so the d^3 ceiling above is obsolete for it; the hard ceiling is
+        # d2 itself plus Dekker-split headroom (2^12 during tf3 products):
+        # 3 * (2 * growth * qmax * 2^qe)^2 <= 2^114.
+        qe_max = math.floor(math.log2(
+            2.0 ** 57 / math.sqrt(3.0) / (2.0 * growth_margin * qmax)))
+        floors = []
+        dq = scene.q[None, :, :] - scene.q[:, None, :]       # (i, j, 3)
+        d2 = (dq * dq).sum(-1) + eps * eps
+        a = ((G * scene.m)[None, :, None] * dq
+             / (d2 * np.sqrt(d2))[:, :, None]).sum(axis=1)   # (n, 3)
+        amag = np.abs(a).max(axis=1)
+        if (amag > 0).any():
+            floors.append(float(amag[amag > 0].min()))
+        vmag = np.abs(scene.v).max(axis=1)
+        if (vmag > 0).any():
+            floors.append(float(vmag[vmag > 0].min()))
+        if floors:
+            qe_floor = math.ceil(-58 - math.log2(min(floors)))
+            qe = max(qe, qe_floor)
+        qe = max(qe_min, min(qe, qe_max))
     # Mass anchor: put the SMALLEST positive mass at ~2^target_m_exp, so
     # every scaled mass is a fully-normal f32 triple/pair (a tiny mass
     # anchored near the flush boundary would silently carry only 24-48
