@@ -156,6 +156,33 @@ def test_rsqrt_sqrt_accuracy():
     assert worst_sq < 2.0 ** -60, f"sqrt worst rel err {worst_sq}"
 
 
+def test_rsqrt_full_precision_under_jit():
+    """Regression: XLA's algebraic simplifier reassociates float
+    expressions involving LITERAL constants, destroying the error-free
+    transforms — a jitted Newton iteration with literal 1.5/0.5 collapsed
+    to f32 (2^-24) accuracy while eager reached 2^-65. tf.const wraps its
+    limbs in optimization_barrier to prevent this; this test pins the fix
+    by running the constant-heavy op (rsqrt) UNDER JIT, where the eager
+    unit tests above cannot see the problem."""
+    import jax
+
+    rng = np.random.default_rng(123)
+    x = rng.uniform(1.0, 4.0, 512)          # the normalized kernel domain
+    r = jax.jit(tf.rsqrt)(tf.from_f64(x))
+    hi = np.asarray(r.hi, np.float64)
+    mid = np.asarray(r.mid, np.float64)
+    lo = np.asarray(r.lo, np.float64)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        worst = 0.0
+        for i in range(512):
+            want = 1 / decimal.Decimal(x[i]).sqrt()
+            got = (decimal.Decimal(hi[i]) + decimal.Decimal(mid[i])
+                   + decimal.Decimal(lo[i]))
+            worst = max(worst, abs(float((got - want) / want)))
+    assert worst < 2.0 ** -60, f"jitted rsqrt worst rel err {worst}"
+
+
 def test_comparisons_resolve_2pow60_differences():
     a = tf.from_f64(np.asarray([1.0]))
     tiny = tf.const(2.0 ** -60, like=jnp.asarray([1.0], jnp.float32))
