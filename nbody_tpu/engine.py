@@ -56,7 +56,8 @@ def select_winner(scene: Scene, arrivals: np.ndarray, saved: np.ndarray,
 
 def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
                 precision: str = "f64", platform: str | None = None,
-                timers=None, checkpoint_path: str | None = None) -> Answers:
+                timers=None, checkpoint_path: str | None = None,
+                mesh=None) -> Answers:
     """Answer all three problems for a scene (hw5.cu:532-615 end to end).
 
     precision:
@@ -75,6 +76,14 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
               answers, kept for speed comparisons and as the XLA-native
               emulation baseline.
       'f32' — float32 fast path with rescaling; throughput mode.
+
+    mesh: a jax.sharding.Mesh with ('scen', 'body') axes routes the whole
+    solve through the sharded drivers (parallel/solver_sharded.py): the
+    scenario batch spreads over 'scen' and bodies over a 'body' ppermute
+    ring — the multi-chip analog of the reference's 2-GPU scenario
+    distribution (hw5.cu:564-588). Supported with precisions f64 (CPU
+    meshes), dd and f32 (accelerator meshes, rescaled); answers are
+    bit-identical across mesh shapes for a fixed force tile size.
     """
     from . import backend
     from .utils.rescale import compute_rescale, IDENTITY
@@ -130,6 +139,38 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
             run_cfg = dataclasses.replace(run_cfg, dist3_mode="dsqrt")
     elif precision != "f64":
         raise ValueError(f"unknown precision: {precision}")
+
+    if mesh is not None:
+        if precision == "ddp":
+            raise NotImplementedError(
+                "mesh routing is not yet implemented for the tf3 'ddp' "
+                "path; use precision 'dd', 'f64' or 'f32' on a mesh")
+        from .parallel.solver_sharded import (run_problems_12_sharded,
+                                              run_problem_3_sharded)
+        from .utils.padding import bucket_size, pad_scene
+        body = mesh.shape["body"]
+        n_target = bucket_size(run_scene.n)
+        n_target = ((n_target + body - 1) // body) * body
+        run_scene = pad_scene(run_scene, n_target=n_target)
+        if timers is None:
+            from .utils.profiling import PhaseTimers
+            timers = PhaseTimers()
+        fst = oscillation_table(cfg)
+        with timers.phase("problem_1_2"):
+            p12 = run_problems_12_sharded(run_scene, fst, run_cfg, mesh,
+                                          dtype=dtype, fast=fast)
+        gravity_device_id, missile_cost = -1, 0.0
+        if p12.hit_time_step != -2 and scene.device_cnt > 0:
+            with timers.phase("problem_3"):
+                saved = run_problem_3_sharded(run_scene, p12, fst, run_cfg,
+                                              mesh, dtype=dtype, fast=fast)
+            gravity_device_id, missile_cost = select_winner(
+                scene, p12.arrivals, saved, cfg)
+        return Answers(
+            min_dist=float(rescale.unscale_length(p12.min_dist)),
+            hit_time_step=p12.hit_time_step,
+            gravity_device_id=gravity_device_id,
+            missile_cost=missile_cost)
 
     if platform != "cpu":
         # Pad to size buckets: TPU tile alignment + amortized compile

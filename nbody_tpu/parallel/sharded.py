@@ -74,7 +74,8 @@ def ring_pairwise_accel(q_local, gm_local, *, axis_name: str, eps: float,
 def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
                       batch_axes: tuple = (), G: float, eps: float,
                       dt: float, use_pallas: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, tile_i: int = 512,
+                      tile_j: int = 2048):
     """Build a jitted sharded step: (q, v, m_eff) -> (q, v).
 
     q, v: (*batch, n, 3) sharded over `batch_axes` + bodies over `body_axis`;
@@ -90,7 +91,8 @@ def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
         def one(qb, vb, mb):
             a = ring_pairwise_accel(qb, G * mb, axis_name=body_axis, eps=eps,
                                     use_pallas=use_pallas,
-                                    interpret=interpret)
+                                    interpret=interpret, tile_i=tile_i,
+                                    tile_j=tile_j)
             vb = vb + a * dt
             qb = qb + vb * dt
             return qb, vb

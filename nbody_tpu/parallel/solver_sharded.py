@@ -77,18 +77,24 @@ def ring_accel_ordered(q_local, gm_local, *, axis_name: str, eps: float,
     tps = ni // tile                      # tiles per shard
     n_tiles = k * tps
     perm = [(i, (i + 1) % k) for i in range(k)]
-    buf = jnp.zeros((n_tiles,) + q_local.shape, q_local.dtype)
+    # derive from q_local so the buffer carries its varying-mesh-axes
+    # metadata (a plain jnp.zeros would mismatch the scan carry type)
+    zrow = jnp.zeros_like(q_local)
+    buf = jnp.broadcast_to(zrow[None], (n_tiles,) + zrow.shape)
 
     def rot(r, carry):
         buf, qj, gmj = carry
-        origin = jax.lax.rem(me - r + k, k)   # block's home shard
+        r = jnp.asarray(r, jnp.int32)
+        origin = jax.lax.rem(jnp.int32(me) - r + jnp.int32(k),
+                             jnp.int32(k))    # block's home shard
         for s in range(tps):
             part = _tile_partial(q_local, qj[s * tile:(s + 1) * tile],
                                  gmj[s * tile:(s + 1) * tile], eps=eps,
                                  dist3_mode=dist3_mode, fast=fast)
-            gidx = origin * tps + s
+            gidx = origin * jnp.int32(tps) + jnp.int32(s)
             buf = lax.dynamic_update_slice(
-                buf, part[None], (gidx,) + (0,) * part.ndim)
+                buf, part[None],
+                (gidx,) + (jnp.int32(0),) * part.ndim)
         qj = lax.ppermute(qj, axis_name, perm)
         gmj = lax.ppermute(gmj, axis_name, perm)
         return buf, qj, gmj
