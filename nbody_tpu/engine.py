@@ -192,7 +192,8 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     if p12.hit_time_step != -2 and scene.device_cnt > 0:
         with timers.phase("problem_3"):
             saved = run_problem_3(run_scene, p12, fst, run_cfg,
-                                  device=device, dtype=dtype, fast=fast)
+                                  device=device, dtype=dtype, fast=fast,
+                                  checkpoint_path=checkpoint_path)
         gravity_device_id, missile_cost = select_winner(
             scene, p12.arrivals, saved, cfg)
 

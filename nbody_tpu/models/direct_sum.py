@@ -419,7 +419,8 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
 def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                   device=None, dtype=np.float64, fast: bool = False,
                   host_chunks: int | None = None,
-                  strategy: str = "auto") -> np.ndarray:
+                  strategy: str = "auto",
+                  checkpoint_path: str | None = None) -> np.ndarray:
     """Return (D,) bool: True if destroying device k saves the planet.
 
     Only scenarios with a valid arrival (!= -2) and arrival <= hit step can
@@ -439,6 +440,13 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                      Work is sum of per-scenario active suffixes instead of
                      D x the longest one.
       'auto'       — sequential for large scenes, batched for small.
+
+    checkpoint_path: persist the P3 progress to sidecar files derived from
+    this path (`<path>.p3.npz` for the in-flight while_loop carry,
+    `<path>.p3progress.json` for per-scenario results under the sequential
+    strategy) and resume from them — a preemption mid-P3 no longer
+    restarts it (the reference's snapshot-restore idea, hw5.cu:475-486,
+    extended to disk).
     """
     D = scene.device_cnt
     if D == 0:
@@ -447,18 +455,49 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     if not eligible.any():
         return np.zeros((D,), dtype=bool)
 
+    import json
+    import os
+
+    fingerprint = None
+    state_path = progress_path = None
+    if checkpoint_path is not None:
+        fingerprint = _solver_fingerprint(scene, cfg, dtype, fast)
+        state_path = checkpoint_path + ".p3.npz"
+        progress_path = checkpoint_path + ".p3progress.json"
+
     if strategy == "auto":
         strategy = "sequential" if scene.n >= 256 else "batched"
     if strategy == "sequential":
         saved = np.zeros((D,), dtype=bool)
+        done: dict = {}
+        if progress_path is not None and os.path.exists(progress_path):
+            with open(progress_path) as f:
+                rec = json.load(f)
+            if rec.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"P3 progress file {progress_path} was written for a "
+                    "different scene/config/precision — refusing to resume")
+            done = {int(k): bool(v) for k, v in rec["results"].items()}
         order = sorted(np.nonzero(eligible)[0],
                        key=lambda k: (int(p12.arrivals[k]),
                                       int(scene.device_idx[k])))
         for k in order:
-            sub = _run_p3_scenarios(
-                scene, p12, fst, cfg, np.asarray([k]), device=device,
-                dtype=dtype, fast=fast, host_chunks=host_chunks)
-            saved[k] = bool(sub[0])
+            if int(k) in done:
+                saved[k] = done[int(k)]
+            else:
+                sub = _run_p3_scenarios(
+                    scene, p12, fst, cfg, np.asarray([k]), device=device,
+                    dtype=dtype, fast=fast, host_chunks=host_chunks,
+                    checkpoint_path=state_path, fingerprint=fingerprint)
+                saved[k] = bool(sub[0])
+                if progress_path is not None:
+                    done[int(k)] = bool(saved[k])
+                    with open(progress_path, "w") as f:
+                        json.dump({"fingerprint": fingerprint,
+                                   "results": {str(i): bool(v)
+                                               for i, v in done.items()}}, f)
+                    if os.path.exists(state_path):
+                        os.remove(state_path)   # scenario finished
             if saved[k]:
                 break  # dominated: later scenarios cost strictly more
         return saved
@@ -466,7 +505,9 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
     idx = np.arange(D)
     return_mask = _run_p3_scenarios(scene, p12, fst, cfg, idx, device=device,
                                     dtype=dtype, fast=fast,
-                                    host_chunks=host_chunks)
+                                    host_chunks=host_chunks,
+                                    checkpoint_path=state_path,
+                                    fingerprint=fingerprint)
     out = np.zeros((D,), dtype=bool)
     out[idx] = return_mask
     return out & eligible
@@ -475,9 +516,15 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
 def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
                       idx: np.ndarray, *, device=None, dtype=np.float64,
                       fast: bool = False,
-                      host_chunks: int | None = None) -> np.ndarray:
+                      host_chunks: int | None = None,
+                      checkpoint_path: str | None = None,
+                      fingerprint: str | None = None) -> np.ndarray:
     """Run the resumed simulations for the scenario subset `idx` (device
-    slots). Returns (len(idx),) bool saved-mask."""
+    slots). Returns (len(idx),) bool saved-mask.
+
+    checkpoint_path: persist (chunk index, q, v, hit flags) after each host
+    chunk and resume from the file if present — mirrors the P12 checkpoint
+    contract (bit-identical answers after a kill-and-rerun)."""
     D = len(idx)
     is_tf = _is_tf_dtype(dtype)
     conv = _make_converter(dtype)
@@ -537,6 +584,25 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
     fst_j = put(conv(np.asarray(fst, dtype=host_dtype)))
 
     c = c_start
+    if checkpoint_path is not None:
+        import os
+
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        idx_key = [int(i) for i in idx]
+        if os.path.exists(checkpoint_path):
+            step, qc, vc, extra, meta = load_checkpoint(checkpoint_path)
+            if (meta.get("fingerprint") != fingerprint
+                    or meta.get("idx") != idx_key):
+                raise ValueError(
+                    f"P3 checkpoint {checkpoint_path} was written for a "
+                    "different scene/config/precision/scenario set — "
+                    "refusing to resume")
+            c = int(step)
+            unpack = (lambda a: TF3(a[0], a[1], a[2])) if is_tf else \
+                (lambda a: a)
+            q = put(unpack(qc))
+            v = put(unpack(vc))
+            hit_flag = put(extra["hit_flag"].astype(bool))
     while c < n_chunks:
         hc = chunker.start() if chunker is not None else host_chunks
         c_j, q, v, hit_flag = _p3_chunks(
@@ -555,6 +621,12 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
         if _on_accelerator(device):
             _guard_finite(q, context=f"in P3 after chunk {c_new}")
         c = c_new
+        if checkpoint_path is not None:
+            save_checkpoint(checkpoint_path, step=c, q=_ckpt_pack(q),
+                            v=_ckpt_pack(v),
+                            extra={"hit_flag": np.asarray(hit_flag)},
+                            meta={"fingerprint": fingerprint,
+                                  "idx": idx_key})
         hits = np.asarray(hit_flag)
         if (hits | ~eligible).all():
             break  # every eligible scenario decided
