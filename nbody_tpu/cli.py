@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist3-mode", choices=["dsqrt", "sqrt3", "pow"],
                    default=None, help="fp64 (d^2)^1.5 evaluation order")
     p.add_argument("--precision",
-                   choices=["exact", "f64", "ddp", "dd+", "dd", "f32"],
+                   choices=["exact", "f64", "ddp", "dd+", "tf3", "dd", "f32"],
                    default="f64",
                    help="exact: native serial core, byte-golden; f64: IEEE "
                         "binary64 scan (CPU); dd: accelerator double-double "

@@ -93,10 +93,19 @@ def _solver_fingerprint(scene, cfg: SimConfig, dtype, fast: bool) -> str:
     return h.hexdigest()
 
 
-def _sq_dist(qa, qb):
+def _sq_dist(qa, qb, grid: bool = False):
     """Squared distance with the serial spec's fp64 op order
     (dx*dx + dy*dy + dz*dz, samples/nbody.cc:118-121). Works on plain
-    arrays and TF3 triples (operator overloads)."""
+    arrays and TF3 triples (operator overloads).
+
+    grid=True (TF3 'ddp' semantics): round every operation to the f64
+    grid so the decision quantities (min distance, hit, arrival) follow
+    the exact f64 op sequence — see ops/tfloat.round53."""
+    if grid and isinstance(qa, TF3):
+        r = tfloat.round53
+        d = qa - qb
+        dx, dy, dz = (r(d[..., k]) for k in range(3))
+        return r(r(r(dx * dx) + r(dy * dy)) + r(dz * dz))
     d = qa - qb
     return d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
 
@@ -129,7 +138,13 @@ class P12Result:
 
 
 def _is_tf_dtype(dtype) -> bool:
-    return isinstance(dtype, str) and dtype == "tf3"
+    """Both triple-f32 modes: 'e64' (answer-grade, f64-grid state
+    semantics — precision 'ddp') and 'tf3' (truth-grade raw trajectories)."""
+    return isinstance(dtype, str) and dtype in ("tf3", "e64")
+
+
+def _is_e64(dtype) -> bool:
+    return isinstance(dtype, str) and dtype == "e64"
 
 
 def _make_converter(dtype):
@@ -156,11 +171,12 @@ def _ckpt_pack(x):
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
                      "missile_speed", "dist3_mode", "planet", "asteroid",
-                     "fast"),
+                     "fast", "f64_grid"),
 )
 def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
                fst_chunk, t0, *, n_steps, dt, eps, G, planet_radius,
-               missile_speed, dist3_mode, planet, asteroid, fast=False):
+               missile_speed, dist3_mode, planet, asteroid, fast=False,
+               f64_grid=False):
     """Advance the stacked P1/P2 state over steps (t0, t0+len(fst_chunk)].
     Steps beyond n_steps are masked to the identity, so a ragged final chunk
     is bit-exact. The numeric type of q (plain f64/f32 array or TF3 triple)
@@ -184,29 +200,34 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
         in_range = t <= jnp.int32(n_steps)
         m_eff = m0_s + m_half * fst_t
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
-                                       dist3_mode=dist3_mode, fast=fast)
+                                       dist3_mode=dist3_mode, fast=fast,
+                                       f64_grid=f64_grid)
         q = _select(in_range, q2, q)
         v = _select(in_range, v2, v)
         # Problem 1: running min on the devices-off scenario.
-        d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid])
+        d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid], grid=f64_grid)
         min_d2 = _select(in_range, _minimum(min_d2, d2_pa0), min_d2)
         # Problem 3 preprocessing runs before the hit check each step
         # (hw5.cu:396-397); they are independent. Arrival: the expanding
         # missile sphere around the planet's CURRENT position first contains
         # the device (hw5.cu:270-274).
-        d2_pd = _sq_dist(q[1, planet], q[1, dev_idx])         # (D,)
+        d2_pd = _sq_dist(q[1, planet], q[1, dev_idx], grid=f64_grid)  # (D,)
         if is_tf:
             tt = t.astype(jnp.float32)                        # t < 2^24: exact
             md = sdt * TF3(tt, jnp.zeros_like(tt), jnp.zeros_like(tt))
+            md2 = md * md
+            if f64_grid:   # sdt is exact in f64, so md needs no rounding
+                md2 = tfloat.round53(md2)
         else:
             md = sdt * t.astype(f64)
-        arrived = (arr == -2) & (d2_pd < md * md) & in_range
+            md2 = md * md
+        arrived = (arr == -2) & (d2_pd < md2) & in_range
         arr = jnp.where(arrived, t, arr)
         sel = arrived[:, None, None]
         q_snap = _select(sel, q[1][None], q_snap)
         v_snap = _select(sel, v[1][None], v_snap)
         # Problem 2: first hit step, guarded like hw5.cu:255.
-        d2_pa = _sq_dist(q[1, planet], q[1, asteroid])
+        d2_pa = _sq_dist(q[1, planet], q[1, asteroid], grid=f64_grid)
         hit = jnp.where((hit == -2) & (d2_pa < r2) & in_range, t, hit)
         return (q, v, min_d2, hit, arr, q_snap, v_snap), None
 
@@ -316,6 +337,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             missile_speed=cfg.missile_speed,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+            f64_grid=_is_e64(dtype),
         )
         if chunker is not None or on_accel:
             jax.block_until_ready(carry)
@@ -360,11 +382,12 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
                      "dist3_mode", "planet", "asteroid", "fast",
-                     "chunk_steps"),
+                     "chunk_steps", "f64_grid"),
 )
 def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
                m_half_scen, fst, *, n_steps, dt, eps, G, planet_radius,
-               dist3_mode, planet, asteroid, fast=False, chunk_steps=2000):
+               dist3_mode, planet, asteroid, fast=False, chunk_steps=2000,
+               f64_grid=False):
     """Run the batched resumed simulations from chunk c_start up to (at
     most) chunk c_limit: scenario k is frozen until its arrival step, then
     integrates with device k's mass zeroed (destruction takes effect from
@@ -391,11 +414,12 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
         fst_t = fst[jnp.minimum(t, jnp.int32(n_steps))]
         m_eff = m0_scen + m_half_scen * fst_t                 # (D, n)
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
-                                       dist3_mode=dist3_mode, fast=fast)
+                                       dist3_mode=dist3_mode, fast=fast,
+                                       f64_grid=f64_grid)
         sel = active[:, None, None]
         q = _select(sel, q2, q)
         v = _select(sel, v2, v)
-        d2_pa = _sq_dist(q[:, planet], q[:, asteroid])
+        d2_pa = _sq_dist(q[:, planet], q[:, asteroid], grid=f64_grid)
         hit_flag = hit_flag | (active & (d2_pa < r2))
         return q, v, hit_flag
 
@@ -613,7 +637,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             planet_radius=cfg.planet_radius,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-            chunk_steps=cs,
+            chunk_steps=cs, f64_grid=_is_e64(dtype),
         )
         c_new = int(c_j)   # materializes the carry (blocks)
         if chunker is not None:

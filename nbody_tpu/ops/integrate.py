@@ -14,15 +14,35 @@ from .tfloat import TF3
 
 
 def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
-                          dist3_mode: str = "dsqrt", fast: bool = False):
+                          dist3_mode: str = "dsqrt", fast: bool = False,
+                          f64_grid: bool = False):
     """One integration step. q, v: (..., n, 3); m_eff: (..., n).
 
-    Accepts plain arrays (f64/f32 paths) or TF3 triples (the answer-grade
-    extended-precision TPU path): the numeric type of the state selects the
-    force kernel."""
+    Accepts plain arrays (f64/f32 paths) or TF3 triples (the extended-
+    precision TPU paths): the numeric type of the state selects the force
+    kernel.
+
+    f64_grid (TF3 only) — the 'ddp' answer-grade semantics: round every
+    state-update result to the IEEE-binary64 grid, reproducing the f64
+    update sequence v += fl(a*dt); q += fl(v*dt) (hw5.cu:231-239,
+    samples/nbody.cc:76-88). The force itself stays tf3 (~2^-70): its
+    difference from any f64 force evaluation is exactly the ulp-class
+    noise the f64 state fixpoint absorbs (see ops/tfloat.round53). Without
+    the flag the state evolves at full tf3 precision — the 'tf3'
+    truth-grade trajectory mode, closer to the continuum than f64 itself
+    (validated against a 50-digit decimal referee)."""
     if isinstance(q, TF3):
+        from . import tfloat as tf
+
         a = pairwise_accel_tf3(q, m_eff, G=G, eps=eps)
-    elif fast:
+        if f64_grid:
+            v = tf.round53(v + tf.round53(a * dt))
+            q = tf.round53(q + tf.round53(v * dt))
+        else:
+            v = v + a * dt
+            q = q + v * dt
+        return q, v
+    if fast:
         a = pairwise_accel_fast(q, m_eff, G=G, eps=eps)
     else:
         a = pairwise_accel(q, m_eff, G=G, eps=eps, dist3_mode=dist3_mode)

@@ -49,15 +49,25 @@ def _rel_err_fraction(got: Fraction, want: Fraction) -> float:
     return abs(float((got - want) / want))
 
 
-def test_two_sum_and_two_prod_are_exact():
+def test_two_sum_and_product_transforms():
+    """two_sum and the 3-term products are EXACT; 2-term two_prod is exact
+    to ~2 ulp(e) ~ 2^-69·|ab| (its documented FMA-proof contract)."""
     a = jnp.asarray(_rand_vals(256, -10, 10), jnp.float32)
     b = jnp.asarray(_rand_vals(256, -10, 10), jnp.float32)
     s, e = tf.two_sum(a, b)
     p, f = tf.two_prod(a, b)
+    p3, e3, f3 = tf.two_prod3(a, b)
+    q3, g3, h3 = tf.two_sq3(a)
     for i in range(256):
         fa, fb = Fraction(float(a[i])), Fraction(float(b[i]))
         assert Fraction(float(s[i])) + Fraction(float(e[i])) == fa + fb
-        assert Fraction(float(p[i])) + Fraction(float(f[i])) == fa * fb
+        got2 = Fraction(float(p[i])) + Fraction(float(f[i]))
+        # documented contract: ~2^-24·|e|, worst case ~2^-46·|ab|
+        assert _rel_err_fraction(got2, fa * fb) < 2.0 ** -46
+        assert (Fraction(float(p3[i])) + Fraction(float(e3[i]))
+                + Fraction(float(f3[i]))) == fa * fb
+        assert (Fraction(float(q3[i])) + Fraction(float(g3[i]))
+                + Fraction(float(h3[i]))) == fa * fa
 
 
 def test_f64_conversion_exact():
@@ -226,3 +236,59 @@ def test_where_and_pytree():
     doubled = f(tf.TF3(jnp.asarray(a.hi), jnp.asarray(a.mid),
                        jnp.asarray(a.lo)))
     np.testing.assert_allclose(tf.to_f64(doubled), 2 * x, rtol=1e-18)
+
+
+def test_round53_matches_f64_rounding_exactly():
+    """round53 must agree with correctly-rounded IEEE-binary64 (math.fsum of
+    the three limbs is exactly rounded) — eager AND under jit. This is the
+    primitive the answer-grade 'ddp' path rests on (every state update is
+    rounded to the f64 grid; see ops/integrate.symplectic_euler_step)."""
+    import math
+
+    import jax
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    hi = (rng.standard_normal(n) * np.exp2(rng.integers(-30, 30, n))
+          ).astype(np.float32)
+    mid = (hi * rng.standard_normal(n) * 2.0 ** -25).astype(np.float32)
+    lo = (hi * rng.standard_normal(n) * 2.0 ** -49).astype(np.float32)
+    t = tf.TF3(jnp.asarray(hi), jnp.asarray(mid), jnp.asarray(lo))
+    want = np.array([math.fsum([float(hi[i]), float(mid[i]), float(lo[i])])
+                     for i in range(n)])
+    for f in (tf.round53, jax.jit(tf.round53)):
+        out = tf.to_f64(f(t))
+        np.testing.assert_array_equal(out, want)
+
+
+def test_round53_output_is_on_f64_grid():
+    rng = np.random.default_rng(6)
+    hi = (rng.standard_normal(256) * np.exp2(rng.integers(-20, 20, 256))
+          ).astype(np.float32)
+    mid = (hi * rng.standard_normal(256) * 2.0 ** -25).astype(np.float32)
+    lo = (hi * rng.standard_normal(256) * 2.0 ** -49).astype(np.float32)
+    r = tf.round53(tf.TF3(jnp.asarray(hi), jnp.asarray(mid), jnp.asarray(lo)))
+    # exactly representable in f64: converting and splitting back is lossless
+    back = tf.from_f64(tf.to_f64(r))
+    for i in range(256):
+        assert _tf_to_fraction(back, i) == _tf_to_fraction(r, i)
+
+
+def test_sqr_exact_and_jit_safe():
+    """sqr (and the `x * x` spelling, which routes to it) must keep full tf3
+    accuracy UNDER JIT. Plain mul(a, a) is rewritten by XLA (CSE of the
+    equal cross products changes the rounding sequence — see two_sq); the
+    square-safe formulation has nothing to rewrite."""
+    import jax
+
+    x = _rand_vals(512, -7, 7, rng=np.random.default_rng(7))
+    a = tf.from_f64(x)
+    a = tf.TF3(jnp.asarray(a.hi), jnp.asarray(a.mid), jnp.asarray(a.lo))
+    for f in (lambda t: t * t, jax.jit(lambda t: t * t),
+              tf.sqr, jax.jit(tf.sqr)):
+        got = f(a)
+        worst = max(
+            _rel_err_fraction(_tf_to_fraction(got, i),
+                              Fraction(x[i]) * Fraction(x[i]))
+            for i in range(512))
+        assert worst < 2.0 ** -63, f"sqr worst rel err {worst}"
