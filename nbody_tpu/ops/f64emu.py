@@ -1,0 +1,560 @@
+"""Bit-exact IEEE binary64 ("e64") arithmetic from int32/uint32 vector ops.
+
+Why this exists: the graded outputs are a robust fixpoint of IEEE-f64
+ARITHMETIC, not of the continuum dynamics (ops/tfloat.round53 documents the
+measurement: the true trajectory lands 151x off the golden min_dist). The
+TPU has no f64 ALU — XLA's "f64" is a ~2^-48 double-double (0/12 golden
+answers, results/ACCURACY.md), and triple-f32 computes the TRUTH rather
+than the graded fixpoint. The way to GUARANTEE the reference's answers on
+the accelerator is to reproduce binary64 semantics exactly: this module
+implements correctly-rounded (round-to-nearest, ties-to-even) binary64
+add/sub/mul/div/sqrt out of uint32 lane ops, so the solver can run the
+serial spec (native/core.cc advance(); samples/nbody.cc:57-88;
+hw5.cu:199-239) bit-for-bit on TPU — the same guarantee as the native
+oracle, at accelerator speed.
+
+Design: values travel as packed IEEE pairs (hi, lo uint32 — exactly the
+two halves of the double's bit pattern). Each op unpacks, computes the
+EXACT result in integer arithmetic, and rounds once:
+
+  * add/sub — 28-bit limbs (carries fit in uint32): align with a 28-bit
+    guard limb + sticky, add/sub magnitudes, renormalize (clz), RNE tail.
+  * mul — 14-bit limbs: all 16 partial products are exact in uint32
+    (< 2^28) and column sums stay < 2^30, so the 106-bit product is exact;
+    top 53 bits + 28 guard bits + sticky feed the shared RNE tail.
+  * div — long division in three float32-estimated digits (17+18+18
+    bits), each made exact by an integer remainder update and bounded
+    corrections; final RNE compares the exact remainder against B/2.
+  * sqrt — float32 seed + two exact-residual correction rounds (integer
+    square, float32 quotient of the residual), then +-1 integer fix-ups;
+    the final RNE compares the residual against R (sqrt ties are
+    impossible).
+
+Scope (matches the solver's domain, validated by the native core): normal
+numbers and signed zeros. Subnormal inputs are treated as zero, subnormal
+results flush to +-0, overflow saturates to the inf pattern; NaN/inf
+arithmetic is not modelled — the graded dynamics live in ~1e-3..1e30 and
+never produce them.
+
+Everything here is uint32/int32 lane arithmetic — immune by construction
+to the float rewrites that break extended-precision float code under XLA
+(fmuladd contraction, constant reassociation; see ops/tfloat.two_prod).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+I32 = jnp.int32
+F32 = jnp.float32
+
+_M28 = (1 << 28) - 1
+_M14 = (1 << 14) - 1
+_HALF28 = 1 << 27          # midpoint of a 28-bit guard field
+
+
+def _u(x):
+    return jnp.asarray(x, U32)
+
+
+def _i(x):
+    return jnp.asarray(x, I32)
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack
+# ---------------------------------------------------------------------------
+
+def unpack(hi, lo):
+    """Packed IEEE -> (sign, biased_exp:int32, L1, L0).
+
+    L1 holds significand bits 28..52 (incl. the implicit bit — 25 bits),
+    L0 bits 0..27. e == 0 (zero or subnormal) yields a zero significand."""
+    hi = _u(hi)
+    lo = _u(lo)
+    s = hi >> 31
+    e = _i((hi >> 20) & _u(0x7FF))
+    normal = e != 0
+    l0 = jnp.where(normal, lo & _u(_M28), _u(0))
+    l1 = jnp.where(normal,
+                   (lo >> 28) | ((hi & _u(0xFFFFF)) << 4) | _u(1 << 24),
+                   _u(0))
+    return s, e, l1, l0
+
+
+def pack(s, e, l1, l0):
+    """(sign, biased_exp:int32, L1 in [2^24, 2^25), L0) -> packed IEEE.
+
+    e <= 0 flushes to signed zero; e >= 2047 saturates to signed inf."""
+    tiny = e <= 0
+    huge = e >= 2047
+    eu = _u(jnp.clip(e, 0, 2047))
+    l1 = jnp.where(tiny | huge, _u(0), l1)
+    l0 = jnp.where(tiny | huge, _u(0), l0)
+    eu = jnp.where(tiny, _u(0), jnp.where(huge, _u(2047), eu))
+    hi = (s << 31) | (eu << 20) | ((l1 >> 4) & _u(0xFFFFF))
+    lo = ((l1 & _u(0xF)) << 28) | l0
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# shared rounding tail
+# ---------------------------------------------------------------------------
+
+def _round_pack(s, e, l1, l0, grd, sticky):
+    """RNE-round (L1, L0 | grd28 + sticky) and pack. L1 in [2^24, 2^25)."""
+    up = (grd > _u(_HALF28)) | ((grd == _u(_HALF28))
+                               & (sticky | ((l0 & _u(1)) != 0)))
+    l0 = l0 + up.astype(U32)
+    carry = l0 >> 28
+    l0 = l0 & _u(_M28)
+    l1 = l1 + carry
+    ovf = l1 >> 25                      # rounded up to 2^53
+    e = e + _i(ovf)
+    l1 = jnp.where(ovf != 0, _u(1 << 24), l1)
+    return pack(s, e, l1, l0)
+
+
+# ---------------------------------------------------------------------------
+# add / sub
+# ---------------------------------------------------------------------------
+
+def add(ah, al, bh, bl):
+    """Correctly-rounded binary64 a + b on packed uint32 pairs."""
+    sa, ea, a1, a0 = unpack(ah, al)
+    sb, eb, b1, b0 = unpack(bh, bl)
+
+    # order by magnitude: x = larger (ties -> a), y = smaller
+    a_ge = (ea > eb) | ((ea == eb) & ((a1 > b1)
+                                      | ((a1 == b1) & (a0 >= b0))))
+    sx = jnp.where(a_ge, sa, sb)
+    ex = jnp.where(a_ge, ea, eb)
+    x1 = jnp.where(a_ge, a1, b1)
+    x0 = jnp.where(a_ge, a0, b0)
+    ey = jnp.where(a_ge, eb, ea)
+    y1 = jnp.where(a_ge, b1, a1)
+    y0 = jnp.where(a_ge, b0, a0)
+    # a zero y must not distort the alignment distance
+    ey = jnp.where(ey == 0, ex, ey)
+
+    # align y: shift right by d into (u1, u0, uE) + sticky
+    d = _u(jnp.clip(ex - ey, 0, 84))
+    w = d // 28
+    r = d % 28
+    t1 = jnp.where(w == 0, y1, _u(0))
+    t0 = jnp.where(w == 0, y0, jnp.where(w == 1, y1, _u(0)))
+    tE = jnp.where(w == 1, y0, jnp.where(w == 2, y1, _u(0)))
+    drop = jnp.where(w == 2, y0, jnp.where(w == 3, y1 | y0, _u(0)))
+    # bits that fall one limb down under the r-shift (r == 0 -> 0: x << 28
+    # keeps only bits 28..31 and the mask clears them)
+    fall = lambda x: (x << (_u(28) - r)) & _u(_M28)
+    u1 = t1 >> r
+    u0 = (t0 >> r) | fall(t1)
+    uE = (tE >> r) | fall(t0)
+    sticky = (drop | fall(tE)) != 0
+
+    eff_sub = sa != sb
+
+    # magnitude add
+    s0 = x0 + u0
+    add0 = s0 & _u(_M28)
+    add1 = x1 + u1 + (s0 >> 28)
+    addE = uE
+
+    # magnitude subtract (|x| >= |y| guaranteed); the guard limb borrows.
+    # A nonzero sticky means y's true tail is LARGER than the kept uE, so
+    # the kept difference must be reduced by one guard-limb ulp ("borrow
+    # from sticky"): value = x - (u + uE + tail); we compute
+    # x - u - uE - 1 when tail > 0 and note the sticky still flags
+    # inexactness below the guard limb (the tail is strictly between 0 and
+    # one guard ulp, so the true value sits strictly between the kept
+    # difference and +1 ulp of it — RNE with sticky handles it).
+    stky_u = sticky.astype(U32)
+    totE = uE + stky_u
+    subE = (_u(0) - totE) & _u(_M28)
+    brE = (totE != 0).astype(U32)
+    lt0 = (x0 < u0 + brE).astype(U32)
+    sub0 = (x0 - u0 - brE) & _u(_M28)
+    sub1 = x1 - u1 - lt0
+
+    r1 = jnp.where(eff_sub, sub1, add1)
+    r0 = jnp.where(eff_sub, sub0, add0)
+    rE = jnp.where(eff_sub, subE, addE)
+
+    zero_res = ((r1 | r0 | rE) == 0) & ~sticky
+
+    # normalize: msb position p over (r1@56.., r0@28.., rE@0..); target 80
+    msb = lambda x: _i(31) - jax.lax.clz(_i(x))
+    p = jnp.where(r1 != 0, _i(56) + msb(r1),
+                  jnp.where(r0 != 0, _i(28) + msb(r0), msb(rE)))
+    sh = _i(80) - p                      # -1 (carry-out) .. 80 (deep cancel)
+
+    # carry case: one right shift; the dropped bit joins sticky
+    c_st = sticky | ((rE & _u(1)) != 0)
+    cE = (rE >> 1) | ((r0 & _u(1)) << 27)
+    c0 = (r0 >> 1) | ((r1 & _u(1)) << 27)
+    c1 = r1 >> 1
+
+    # left-shift case (sh in [0, 80]): funnel left. Deep cancellation
+    # (sh > 0) can only happen when the alignment shift was 0 or 1, so
+    # sticky is then clear and no bits are invented.
+    shl = _u(jnp.clip(sh, 0, 80))
+    wl = shl // 28
+    rl = shl % 28
+    g1 = jnp.where(wl == 0, r1, jnp.where(wl == 1, r0, rE))
+    g0 = jnp.where(wl == 0, r0, jnp.where(wl == 1, rE, _u(0)))
+    gE = jnp.where(wl == 0, rE, _u(0))
+    take = lambda x: jnp.where(rl == 0, _u(0), x >> (_u(28) - rl))
+    l1n = ((g1 << rl) | take(g0)) & _u((1 << 25) - 1)
+    l0n = ((g0 << rl) | take(gE)) & _u(_M28)
+    lEn = (gE << rl) & _u(_M28)
+
+    r1f = jnp.where(sh == -1, c1, l1n)
+    r0f = jnp.where(sh == -1, c0, l0n)
+    rEf = jnp.where(sh == -1, cE, lEn)
+    stf = jnp.where(sh == -1, c_st, sticky)
+    ef = ex - sh
+
+    hi, lo = _round_pack(sx, ef, r1f, r0f, rEf, stf)
+
+    # zero result: +0 for exact cancellation and (+0)+(-0); -0 only for
+    # (-0)+(-0) — sa & sb covers all three (cancellation has sa != sb).
+    hi = jnp.where(zero_res, (sa & sb) << 31, hi)
+    lo = jnp.where(zero_res, _u(0), lo)
+    return hi, lo
+
+
+def neg(hi, lo):
+    return _u(hi) ^ _u(0x80000000), _u(lo)
+
+
+def sub(ah, al, bh, bl):
+    nh, nl = neg(bh, bl)
+    return add(ah, al, nh, nl)
+
+
+# ---------------------------------------------------------------------------
+# little-endian 14-bit-limb integer helpers (lists of uint32 arrays)
+# ---------------------------------------------------------------------------
+
+def _limbs14(l1, l0):
+    """(L1 <= 2^26, L0 < 2^28) -> 4 x 14-bit limbs (m3 may hold 12 bits)."""
+    return [l0 & _u(_M14), (l0 >> 14) & _u(_M14),
+            l1 & _u(_M14), l1 >> 14]
+
+
+def _limb_f32(lims):
+    """float32 approximation of a limb integer (little-endian)."""
+    acc = lims[-1].astype(F32)
+    for lm in lims[-2::-1]:
+        acc = acc * F32(1 << 14) + lm.astype(F32)
+    return acc
+
+
+def _limb_mul(a, b, out_len):
+    """Exact product of two limb integers (column sums < 2^31 requires
+    len(a) * 16384 * len(b)-ish headroom — fine for <= 8x8)."""
+    cols = [None] * (len(a) + len(b) - 1)
+    for i_ in range(len(a)):
+        for j_ in range(len(b)):
+            p = a[i_] * b[j_]
+            k = i_ + j_
+            cols[k] = p if cols[k] is None else cols[k] + p
+    out = []
+    cur = _u(jnp.zeros_like(a[0]))
+    for k in range(out_len):
+        if k < len(cols):
+            cur = cur + cols[k]
+        out.append(cur & _u(_M14))
+        cur = cur >> 14
+    return out
+
+
+def _limb_shl(a, nbits, out_len):
+    """Left shift by a static bit count; exact while it fits out_len."""
+    w_, r_ = divmod(nbits, 14)
+    z = _u(jnp.zeros_like(a[0]))
+    shifted = [z] * w_ + list(a)
+    shifted = shifted[:out_len] + [z] * max(0, out_len - len(shifted))
+    if r_ == 0:
+        return shifted[:out_len]
+    out = []
+    carry = z
+    for lm in shifted[:out_len]:
+        v = (lm << r_) | carry
+        out.append(v & _u(_M14))
+        carry = v >> 14
+    return out
+
+
+def _limb_add(a, b):
+    """a + b (mod 2^(14 len a)); b may be shorter."""
+    out = []
+    carry = _u(jnp.zeros_like(a[0]))
+    for k in range(len(a)):
+        v = a[k] + carry + (b[k] if k < len(b) else _u(0))
+        out.append(v & _u(_M14))
+        carry = v >> 14
+    return out
+
+
+def _limb_sub(a, b):
+    """a - b (mod 2^(14 len a)); b may be shorter. Two's complement: a
+    negative result shows as top limbs of all-ones."""
+    out = []
+    borrow = _u(jnp.zeros_like(a[0]))
+    for k in range(len(a)):
+        bk = (b[k] if k < len(b) else _u(0)) + borrow
+        lt = (a[k] < bk).astype(U32)
+        out.append((a[k] - bk) & _u(_M14))
+        borrow = lt
+    return out
+
+
+def _limb_is_neg(a):
+    """Sign of a two's-complement limb value (|value| < 2^(14 len - 1))."""
+    return (a[-1] >> 13) != 0
+
+
+def _limb_neg(a):
+    z = [_u(jnp.zeros_like(a[0]))] * len(a)
+    return _limb_sub(z, a)
+
+
+def _limb_cmp(a, b):
+    """Returns (a > b, a == b) for nonnegative limb values — decided by
+    the highest differing limb."""
+    gt = jnp.zeros_like(a[0] > a[0])
+    eq = jnp.ones_like(gt)
+    for k in reversed(range(max(len(a), len(b)))):
+        av = a[k] if k < len(a) else _u(0)
+        bv = b[k] if k < len(b) else _u(0)
+        gt = gt | (eq & (av > bv))
+        eq = eq & (av == bv)
+    return gt, eq
+
+
+def _limb_signed_f32(a):
+    """float32 of a two's-complement limb value."""
+    is_neg = _limb_is_neg(a)
+    mag = _limb_f32(_limb_neg(a))
+    pos = _limb_f32(a)
+    return jnp.where(is_neg, -mag, pos)
+
+
+# ---------------------------------------------------------------------------
+# mul
+# ---------------------------------------------------------------------------
+
+def mul(ah, al, bh, bl):
+    """Correctly-rounded binary64 a * b on packed uint32 pairs."""
+    sa, ea, a1, a0 = unpack(ah, al)
+    sb, eb, b1, b0 = unpack(bh, bl)
+    s = sa ^ sb
+    zero = (ea == 0) | (eb == 0)
+
+    d = _limb_mul(_limbs14(a1, a0), _limbs14(b1, b0), 8)
+    # 28-bit words of the exact 106-bit product (14-bit digits pair up)
+    w0 = d[0] | (d[1] << 14)
+    w1 = d[2] | (d[3] << 14)
+    w2 = d[4] | (d[5] << 14)
+    w3 = d[6] | (d[7] << 14)
+    # product in [2^104, 2^106): top bit is 105 iff w3 bit 21
+    top = (w3 >> 21) & _u(1)
+    # top 53 bits + 28 guard bits + sticky for either alignment:
+    # k = 0 -> top bit 105, k = 1 -> top bit 104
+    def extract(k):
+        l1_ = ((w3 << (3 + k)) | (w2 >> (25 - k))) & _u((1 << 25) - 1)
+        l0_ = ((w2 << (3 + k)) | (w1 >> (25 - k))) & _u(_M28)
+        g_ = ((w1 << (3 + k)) | (w0 >> (25 - k))) & _u(_M28)
+        st_ = (w0 & _u((1 << (25 - k)) - 1)) != 0
+        return l1_, l0_, g_, st_
+    x0 = extract(0)
+    x1 = extract(1)
+    pick = lambda a_, b_: jnp.where(top != 0, a_, b_)
+    e = ea + eb - _i(1023) + _i(top)
+    hi, lo = _round_pack(s, e, pick(x0[0], x1[0]), pick(x0[1], x1[1]),
+                         pick(x0[2], x1[2]), pick(x0[3], x1[3]))
+    hi = jnp.where(zero, s << 31, hi)
+    lo = jnp.where(zero, _u(0), lo)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# div
+# ---------------------------------------------------------------------------
+
+def div(ah, al, bh, bl):
+    """Correctly-rounded binary64 a / b on packed uint32 pairs.
+
+    b must be a nonzero normal (the solver divides only by dist3 > 0);
+    a may be zero."""
+    sa, ea, a1, a0 = unpack(ah, al)
+    sb, eb, b1, b0 = unpack(bh, bl)
+    s = sa ^ sb
+    zero = ea == 0
+
+    # pre-normalize so the quotient is in [1, 2): if A < B double A
+    a_lt = (a1 < b1) | ((a1 == b1) & (a0 < b0))
+    a1 = jnp.where(a_lt, (a1 << 1) | (a0 >> 27), a1)   # a1 <= 2^26
+    a0 = jnp.where(a_lt, (a0 << 1) & _u(_M28), a0)
+    e = ea - eb + _i(1023) - _i(a_lt)
+
+    bm = _limbs14(b1, b0)
+    rb = F32(1.0) / _limb_f32(bm)
+    z = _u(jnp.zeros_like(a1))
+    rem = _limbs14(a1, a0) + [z, z]      # 6 limbs: value < 2^54
+
+    # three digits of floor(A*2^52 / B): 17 + 18 + 18 bits
+    digits = []
+    for shift in (16, 18, 18):
+        rem = _limb_shl(rem, shift, 6)
+        q = (_limb_f32(rem) * rb).astype(U32)
+        q = jnp.minimum(q, _u((1 << 18) + 3))
+        rem = _limb_sub(rem, _limb_mul([q & _u(_M14), q >> 14], bm, 6))
+        # correct the estimate: bring rem into [0, B)
+        for _ in range(2):
+            neg_ = _limb_is_neg(rem)
+            rem_fix = _limb_add(rem, bm)
+            q = q - neg_.astype(U32)
+            rem = [jnp.where(neg_, f, r_) for f, r_ in zip(rem_fix, rem)]
+        for _ in range(2):
+            gt, eq = _limb_cmp(rem, bm)
+            ge = gt | eq
+            rem_fix = _limb_sub(rem, bm)
+            q = q + ge.astype(U32)
+            rem = [jnp.where(ge, f, r_) for f, r_ in zip(rem_fix, rem)]
+        digits.append(q)
+
+    d0, d1, d2 = digits                  # d0 in [2^16, 2^17)
+    l0q = (d2 | (d1 << 18)) & _u(_M28)
+    l1q = ((d1 >> 10) | (d0 << 8)) & _u((1 << 25) - 1)
+    # RNE from the exact remainder: fraction beyond the lsb is rem/B
+    two_rem = _limb_shl(rem, 1, 6)
+    gt, eq = _limb_cmp(two_rem, bm)
+    grd = jnp.where(gt, _u(_HALF28 + 1),
+                    jnp.where(eq, _u(_HALF28), _u(0)))
+    hi, lo = _round_pack(s, e, l1q, l0q, grd, jnp.zeros_like(gt))
+    hi = jnp.where(zero, s << 31, hi)
+    lo = jnp.where(zero, _u(0), lo)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# sqrt
+# ---------------------------------------------------------------------------
+
+def sqrt(ah, al):
+    """Correctly-rounded binary64 sqrt(a), a >= 0 (a = 0 -> 0)."""
+    sa, ea, a1, a0 = unpack(ah, al)
+    zero = ea == 0
+
+    # value = S * 2^u, S in [2^52, 2^53), u = ea - 1075. Make u even.
+    u_ = ea - _i(1075)
+    odd = (u_ & _i(1)) != 0              # works for negatives (two's compl.)
+    S1 = jnp.where(odd, (a1 << 1) | (a0 >> 27), a1)   # <= 2^26
+    S0 = jnp.where(odd, (a0 << 1) & _u(_M28), a0)
+    u2 = u_ - _i(odd)
+    e_res = (u2 >> 1) + _i(1049)         # arithmetic shift: exact halving
+
+    # N = S2 << 52 in [2^104, 2^106) as 8 limbs; R = round(sqrt(N))
+    z = _u(jnp.zeros_like(a1))
+    s2l = _limbs14(S1, S0)
+    N = _limb_shl(s2l + [z, z, z, z], 52, 8)
+
+    # float32 seed: R0 ~ sqrt(N), rel err ~2^-23
+    nf = _limb_f32(N)
+    rf = jnp.sqrt(nf)
+    # R limbs from the 24-bit mantissa of rf placed at the right scale:
+    # rf in [2^52, 2^53): m = rf * 2^-29 in [2^23, 2^24)
+    # place m * 2^29 -> bits 29..52: limb2 gets m bits 0..12 at offset 1
+    m = (rf * F32(2.0 ** -29)).astype(U32)
+    R = [z, z, (m & _u(0x1FFF)) << 1, (m >> 13) & _u(_M14)]
+
+    half_rf_inv = F32(0.5) / rf          # 1/(2 sqrt(N)) approx
+
+    # two correction rounds: R += round((N - R^2) / (2R))
+    for _ in range(2):
+        c = _limb_sub(N, _limb_mul(R, R, 8))
+        cf = _limb_signed_f32(c)
+        dcorr = cf * half_rf_inv         # |d| shrinks 2^31 -> 2^9 -> ~1
+        dneg = dcorr < 0
+        dmag = jnp.abs(dcorr).astype(U32)
+        dl = [dmag & _u(_M14), (dmag >> 14) & _u(_M14), dmag >> 28]
+        R_up = _limb_add(R, dl)
+        R_dn = _limb_sub(R, dl)
+        R = [jnp.where(dneg, d_, u_2) for d_, u_2 in zip(R_dn, R_up)]
+
+    # exact fix-up: make R = floor(sqrt(N)), c = N - R^2 in [0, 2R]
+    c = _limb_sub(N, _limb_mul(R, R, 8))
+    one = [_u(jnp.ones_like(a1))] + [z] * 3
+    for _ in range(3):
+        neg_ = _limb_is_neg(c)
+        # R -= 1: c += 2R - 1
+        c_fix = _limb_sub(_limb_add(c, _limb_shl(R, 1, 8)), one)
+        R_fix = _limb_sub(R, one)
+        c = [jnp.where(neg_, f, cc) for f, cc in zip(c_fix, c)]
+        R = [jnp.where(neg_, f, rr) for f, rr in zip(R_fix, R)]
+    for _ in range(3):
+        # if c >= 2R + 1: R += 1 (c -= 2R + 1 uses the OLD R)
+        thr = _limb_add(_limb_shl(R, 1, 8), one)
+        gt, eq = _limb_cmp(c, thr)
+        ge = gt | eq
+        c_fix = _limb_sub(c, thr)
+        R_fix = _limb_add(R, one)
+        c = [jnp.where(ge, f, cc) for f, cc in zip(c_fix, c)]
+        R = [jnp.where(ge, f, rr) for f, rr in zip(R_fix, R)]
+
+    # RNE: round up iff N > (R + 1/2)^2 <=> c > R (ties impossible)
+    gt, _eq = _limb_cmp(c, R)
+    l0r = R[0] | (R[1] << 14)
+    l1r = R[2] | (R[3] << 14)
+    grd = jnp.where(gt, _u(_HALF28 + 1), _u(0))
+    hi, lo = _round_pack(_u(jnp.zeros_like(ah)), e_res,
+                         l1r & _u((1 << 25) - 1), l0r & _u(_M28),
+                         grd, jnp.zeros_like(gt))
+    hi = jnp.where(zero, _u(0), hi)
+    lo = jnp.where(zero, _u(0), lo)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+# ---------------------------------------------------------------------------
+
+def lt(ah, al, bh, bl):
+    """IEEE a < b for packed pairs (zeros compare equal regardless of
+    sign; inf/NaN out of scope)."""
+    ah, al, bh, bl = _u(ah), _u(al), _u(bh), _u(bl)
+    az = ((ah & _u(0x7FFFFFFF)) | al) == 0
+    bz = ((bh & _u(0x7FFFFFFF)) | bl) == 0
+    sa = ah >> 31
+    sb = bh >> 31
+    ma = ah & _u(0x7FFFFFFF)
+    mb = bh & _u(0x7FFFFFFF)
+    mag_lt = (ma < mb) | ((ma == mb) & (al < bl))
+    mag_gt = (ma > mb) | ((ma == mb) & (al > bl))
+    both_neg = (sa == 1) & (sb == 1)
+    res = jnp.where(both_neg, mag_gt,
+                    jnp.where((sa == 0) & (sb == 0), mag_lt,
+                              (sa == 1) & (sb == 0)))
+    return jnp.where(az & bz, False, res)
+
+
+# ---------------------------------------------------------------------------
+# conversions
+# ---------------------------------------------------------------------------
+
+def from_f64(x):
+    """Host numpy float64 -> packed (hi, lo) uint32 numpy arrays. Exact."""
+    u = np.asarray(x, np.float64).view(np.uint64)
+    return (u >> 32).astype(np.uint32), (u & 0xFFFFFFFF).astype(np.uint32)
+
+
+def to_f64(hi, lo):
+    """Packed (hi, lo) -> host numpy float64. Exact."""
+    u = (np.asarray(hi, np.uint64) << 32) | np.asarray(lo, np.uint64)
+    return u.view(np.float64)

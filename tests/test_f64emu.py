@@ -1,0 +1,140 @@
+"""Bit-exactness of the e64 softfloat (ops/f64emu) vs host IEEE binary64.
+
+Every op must agree with numpy float64 BIT-FOR-BIT (uint64 view compare) on
+random, adversarial, and special-value inputs — this is the property the
+answer-grade TPU path rests on (the solver runs native/core.cc semantics
+through these ops; a single wrong ulp would chaos-amplify over 200001
+steps). The standalone fuzz driver at 200k cases x several seeds measured
+0 mismatches in ~13.6M cases; this file keeps a fast regression subset.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops import f64emu as fe
+
+N = 20000
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def rand_f64(rng, n, max_exp=300):
+    sig = rng.integers(0, 1 << 52, n, dtype=np.uint64)
+    exp = rng.integers(1023 - max_exp, 1023 + max_exp, n, dtype=np.uint64)
+    s = rng.integers(0, 2, n, dtype=np.uint64)
+    return ((s << 63) | (exp << 52) | sig).view(np.float64)
+
+
+def assert_bitexact(op_emu, op_np, a, b=None):
+    ah, al = fe.from_f64(a)
+    if b is None:
+        rh, rl = jax.jit(op_emu)(jnp.asarray(ah), jnp.asarray(al))
+        want = op_np(a)
+    else:
+        bh, bl = fe.from_f64(b)
+        rh, rl = jax.jit(op_emu)(jnp.asarray(ah), jnp.asarray(al),
+                                 jnp.asarray(bh), jnp.asarray(bl))
+        want = op_np(a, b)
+    got = fe.to_f64(np.asarray(rh), np.asarray(rl))
+    wu = want.view(np.uint64)
+    gu = got.view(np.uint64)
+    # out of scope: subnormal / inf / nan reference results
+    we = (wu >> 52) & 0x7FF
+    inscope = ((we != 0) & (we != 0x7FF)) | ((wu & ((1 << 63) - 1)) == 0)
+    bad = (wu != gu) & inscope
+    assert not bad.any(), (
+        f"{int(bad.sum())} mismatches; first: a={a[bad][0]!r}"
+        + (f" b={b[bad][0]!r}" if b is not None else "")
+        + f" want={want[bad][0]!r} got={got[bad][0]!r}")
+
+
+def test_add_random_wide(rng):
+    assert_bitexact(fe.add, np.add, rand_f64(rng, N), rand_f64(rng, N))
+
+
+def test_add_cancellation(rng):
+    a = rand_f64(rng, N, 200)
+    d = rng.integers(-3, 4, N)
+    b = -(a * (2.0 ** d) * (1 + rng.standard_normal(N) * 0.5))
+    assert_bitexact(fe.add, np.add, a, b.astype(np.float64))
+    assert_bitexact(fe.add, np.add, a, -a)          # exact cancel -> +0
+
+
+def test_add_half_ulp_ties(rng):
+    ea = rng.integers(1000, 1040, N, dtype=np.uint64)
+    a = ((ea << 52) | rng.integers(0, 1 << 52, N, dtype=np.uint64)
+         ).view(np.float64)
+    b = np.ldexp(1.0, ea.astype(np.int64) - 1076 + rng.integers(-2, 3, N))
+    assert_bitexact(fe.add, np.add, a, np.where(rng.random(N) < .5, -b, b))
+
+
+def test_add_signed_zeros():
+    a = np.array([0.0, -0.0, 0.0, -0.0, 1.5, -0.0])
+    b = np.array([0.0, -0.0, -0.0, 0.0, -0.0, 2.5])
+    assert_bitexact(fe.add, np.add, a, b)
+
+
+def test_mul_random(rng):
+    a = rand_f64(rng, N, 200)
+    b = rand_f64(rng, N, 200)
+    assert_bitexact(fe.mul, np.multiply, a, b)
+    p2 = np.ldexp(1.0, rng.integers(-40, 40, N))
+    assert_bitexact(fe.mul, np.multiply, a, p2)
+    assert_bitexact(fe.mul, np.multiply,
+                    np.where(rng.random(N) < 0.5, 0.0, a), b)
+
+
+def test_div_random(rng):
+    a = rand_f64(rng, N, 200)
+    b = rand_f64(rng, N, 200)
+    assert_bitexact(fe.div, np.divide, a, b)
+    assert_bitexact(fe.div, np.divide, a, np.ldexp(1.0, rng.integers(-40, 40, N)))
+    assert_bitexact(fe.div, np.divide,
+                    np.where(rng.random(N) < 0.5, 0.0, a), b)
+
+
+def test_div_exact_ties(rng):
+    # a = (q + 1/2) * b lands exactly between representable quotients
+    q = rng.integers(1, 1 << 30, N).astype(np.float64)
+    b = rng.integers(1, 1 << 20, N).astype(np.float64)
+    assert_bitexact(fe.div, np.divide, (q + 0.5) * b, b)
+
+
+def test_sqrt(rng):
+    a = np.abs(rand_f64(rng, N, 300))
+    assert_bitexact(fe.sqrt, np.sqrt, a)
+    r = rand_f64(rng, N, 25)
+    assert_bitexact(fe.sqrt, np.sqrt, r * r)       # exact squares
+    assert_bitexact(fe.sqrt, np.sqrt, np.where(rng.random(N) < .3, 0.0, a))
+
+
+def test_lt(rng):
+    a = rand_f64(rng, N)
+    b = np.where(rng.random(N) < 0.3,
+                 a * (1 + 1e-16 * rng.integers(-2, 3, N)), rand_f64(rng, N))
+    ah, al = fe.from_f64(a)
+    bh, bl = fe.from_f64(b)
+    got = np.asarray(jax.jit(fe.lt)(jnp.asarray(ah), jnp.asarray(al),
+                                    jnp.asarray(bh), jnp.asarray(bl)))
+    np.testing.assert_array_equal(got, a < b)
+    # signed zeros compare equal
+    z1 = np.array([0.0, -0.0, 0.0, 1.0, -1.0])
+    z2 = np.array([-0.0, 0.0, 0.0, -0.0, 0.0])
+    ah, al = fe.from_f64(z1)
+    bh, bl = fe.from_f64(z2)
+    got = np.asarray(fe.lt(jnp.asarray(ah), jnp.asarray(al),
+                           jnp.asarray(bh), jnp.asarray(bl)))
+    np.testing.assert_array_equal(got, z1 < z2)
+
+
+def test_roundtrip_conversion(rng):
+    a = rand_f64(rng, N)
+    hi, lo = fe.from_f64(a)
+    np.testing.assert_array_equal(fe.to_f64(hi, lo).view(np.uint64),
+                                  a.view(np.uint64))
