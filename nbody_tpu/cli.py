@@ -25,11 +25,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist3-mode", choices=["dsqrt", "sqrt3", "pow"],
                    default=None, help="fp64 (d^2)^1.5 evaluation order")
     p.add_argument("--precision",
-                   choices=["exact", "f64", "ddp", "dd+", "tf3", "dd", "f32"],
+                   choices=["exact", "f64", "e64", "ddp", "dd+", "tf3",
+                            "dd", "f32"],
                    default="f64",
                    help="exact: native serial core, byte-golden; f64: IEEE "
-                        "binary64 scan (CPU); dd: accelerator double-double "
-                        "with exact 2^k rescale; f32: fast")
+                        "binary64 scan (CPU); e64: bit-exact binary64 "
+                        "softfloat on the accelerator (byte-golden by "
+                        "construction); ddp/dd+: answer-grade triple-f32 "
+                        "with f64-grid state; tf3: truth-grade triple-f32; "
+                        "dd: accelerator double-double with exact 2^k "
+                        "rescale; f32: fast")
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default=None,
                    help="override backend (default: cpu for f64, tpu else)")
     p.add_argument("--stats", action="store_true",

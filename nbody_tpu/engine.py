@@ -113,7 +113,14 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     fast = False
     if precision == "dd+":
         precision = "ddp"
-    if precision in ("dd", "ddp", "tf3", "f32"):
+    if precision == "e64":
+        # BIT-EXACT binary64 emulation (integer softfloat, ops/f64emu):
+        # the accelerator runs native/core.cc's op sequence with every
+        # operation correctly rounded to IEEE binary64 — same answers as
+        # the native oracle BY CONSTRUCTION, no rescale needed (the
+        # softfloat carries the full 11-bit exponent range).
+        dtype = "e64"
+    elif precision in ("dd", "ddp", "tf3", "f32"):
         # the tf3 modes additionally anchor the acceleration/velocity
         # magnitudes inside the subnormal-flush-safe window (see rescale.py)
         rescale = compute_rescale(scene, eps=run_cfg.eps,
@@ -133,7 +140,7 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
             # beyond f64 accuracy (measured: the pure-accuracy trajectory,
             # matching a 50-digit referee, lands 151x off the golden
             # min_dist — see results/ACCURACY.md round 2).
-            dtype = "e64"
+            dtype = "tf3grid"
         elif precision == "tf3":
             # TRUTH-GRADE: raw triple-f32 trajectories, closer to the
             # continuum than IEEE f64 itself (validated against a 50-digit
@@ -152,10 +159,11 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         raise ValueError(f"unknown precision: {precision}")
 
     if mesh is not None:
-        if precision in ("ddp", "tf3"):
+        if precision in ("ddp", "tf3", "e64"):
             raise NotImplementedError(
                 "mesh routing is not yet implemented for the triple-f32 "
-                "paths; use precision 'dd', 'f64' or 'f32' on a mesh")
+                "and softfloat paths; use precision 'dd', 'f64' or 'f32' "
+                "on a mesh")
         from .parallel.solver_sharded import (run_problems_12_sharded,
                                               run_problem_3_sharded)
         from .utils.padding import bucket_size, pad_scene

@@ -41,7 +41,8 @@ import numpy as np
 from jax import lax
 
 from ..config import SimConfig
-from ..ops import tfloat
+from ..ops import f64emu, tfloat
+from ..ops.f64emu import E64
 from ..ops.integrate import symplectic_euler_step
 from ..ops.tfloat import TF3
 
@@ -50,6 +51,9 @@ from ..ops.tfloat import TF3
 # AdaptiveChunker, which then re-sizes from the measured rate
 # (utils/chunking.py). Even a 10x mis-calibration only affects the probes.
 _DD_SEC_PER_PAIR_STEP = 1.4e-9
+# Same prior for the integer-softfloat 'e64' path (~20x more lane ops per
+# pair than tf3, but still a prior only — the chunker measures and adapts).
+_E64_SEC_PER_PAIR_STEP = 3e-8
 
 
 def _on_accelerator(device) -> bool:
@@ -65,6 +69,9 @@ def _guard_finite(*arrays, context: str = "") -> None:
     """
     ok = True
     for a in arrays:
+        if isinstance(a, E64):
+            ok = ok & f64emu.is_finite_e(a).all()
+            continue
         for leaf in jax.tree.leaves(a):
             ok = ok & jnp.isfinite(leaf).all()
     if not bool(np.asarray(ok)):
@@ -114,12 +121,16 @@ def _select(pred, a, b):
     """jnp.where generalized over the numeric representation."""
     if isinstance(a, TF3):
         return tfloat.where(pred, a, b)
+    if isinstance(a, E64):
+        return f64emu.where_e(pred, a, b)
     return jnp.where(pred, a, b)
 
 
 def _minimum(a, b):
     if isinstance(a, TF3):
         return tfloat.minimum(a, b)
+    if isinstance(a, E64):
+        return f64emu.minimum_e(a, b)
     return jnp.minimum(a, b)
 
 
@@ -138,20 +149,33 @@ class P12Result:
 
 
 def _is_tf_dtype(dtype) -> bool:
-    """Both triple-f32 modes: 'e64' (answer-grade, f64-grid state
-    semantics — precision 'ddp') and 'tf3' (truth-grade raw trajectories)."""
-    return isinstance(dtype, str) and dtype in ("tf3", "e64")
+    """Both triple-f32 modes: 'tf3grid' (answer-grade f64-grid state
+    semantics — precision 'ddp') and 'tf3' (truth-grade raw
+    trajectories)."""
+    return isinstance(dtype, str) and dtype in ("tf3", "tf3grid")
+
+
+def _is_grid(dtype) -> bool:
+    return isinstance(dtype, str) and dtype == "tf3grid"
 
 
 def _is_e64(dtype) -> bool:
+    """The bit-exact softfloat binary64 path (precision 'e64')."""
     return isinstance(dtype, str) and dtype == "e64"
 
 
+def _is_ext(dtype) -> bool:
+    """Any non-native numeric representation (triple-f32 or softfloat)."""
+    return _is_tf_dtype(dtype) or _is_e64(dtype)
+
+
 def _make_converter(dtype):
-    """Host f64 array -> runtime representation (numpy cast or exact TF3
-    split)."""
+    """Host f64 array -> runtime representation (numpy cast, exact TF3
+    split, or exact packed-binary64 E64)."""
     if _is_tf_dtype(dtype):
         return lambda a: tfloat.from_f64(np.asarray(a, np.float64))
+    if _is_e64(dtype):
+        return lambda a: f64emu.e64_from_f64_tree(np.asarray(a, np.float64))
     return lambda a: np.asarray(a, dtype)
 
 
@@ -159,11 +183,23 @@ def _host_tf(x: TF3) -> TF3:
     return TF3(np.asarray(x.hi), np.asarray(x.mid), np.asarray(x.lo))
 
 
+def _ckpt_unpack_fn(dtype):
+    """Inverse of _ckpt_pack for the given dtype."""
+    if _is_tf_dtype(dtype):
+        return lambda a: TF3(a[0], a[1], a[2])
+    if _is_e64(dtype):
+        return lambda a: E64(a[0], a[1])
+    return lambda a: a
+
+
 def _ckpt_pack(x):
-    """Checkpoint representation: TF3 -> stacked (3, ...) component array."""
+    """Checkpoint representation: TF3 -> stacked (3, ...) components;
+    E64 -> stacked (2, ...) uint32 components."""
     if isinstance(x, TF3):
         return np.stack([np.asarray(x.hi), np.asarray(x.mid),
                          np.asarray(x.lo)])
+    if isinstance(x, E64):
+        return np.stack([np.asarray(x.hi), np.asarray(x.lo)])
     return np.asarray(x)
 
 
@@ -182,10 +218,16 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
     is bit-exact. The numeric type of q (plain f64/f32 array or TF3 triple)
     selects the arithmetic throughout."""
     is_tf = isinstance(q, TF3)
+    is_e64 = isinstance(q, E64)
     if is_tf:
         pr = tfloat.const(planet_radius)
         r2 = pr * pr
         sdt = tfloat.const(missile_speed * dt)
+    elif is_e64:
+        # host f64 squares/products are the same fl64 values the spec
+        # computes (core.cc:149, 170)
+        r2 = f64emu.const_e(float(planet_radius) * float(planet_radius))
+        sdt = f64emu.const_e(float(missile_speed) * float(dt))
     else:
         f64 = q.dtype
         r2 = planet_radius * planet_radius
@@ -218,6 +260,10 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
             md2 = md * md
             if f64_grid:   # sdt is exact in f64, so md needs no rounding
                 md2 = tfloat.round53(md2)
+        elif is_e64:
+            # md = fl(sdt * step); compare against fl(md * md) (core.cc:175)
+            md = sdt * E64(*f64emu.from_i32(t))
+            md2 = md * md
         else:
             md = sdt * t.astype(f64)
             md2 = md * md
@@ -253,9 +299,10 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     """
     n = scene.n
     is_tf = _is_tf_dtype(dtype)
+    is_ext = _is_ext(dtype)
     conv = _make_converter(dtype)
     put = functools.partial(jax.device_put, device=device)
-    host_dtype = np.float64 if is_tf else dtype
+    host_dtype = np.float64 if is_ext else dtype
     q0 = np.asarray(scene.q, dtype=host_dtype)
     v0 = np.asarray(scene.v, dtype=host_dtype)
     m0 = np.asarray(scene.m, dtype=host_dtype)
@@ -293,8 +340,9 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             host_chunk = cfg.n_steps   # CPU XLA has no execution watchdog
         else:
             from ..utils.chunking import AdaptiveChunker
-            chunker = AdaptiveChunker(_DD_SEC_PER_PAIR_STEP * 2 * n * n,
-                                      cfg.n_steps)
+            prior = (_E64_SEC_PER_PAIR_STEP if _is_e64(dtype)
+                     else _DD_SEC_PER_PAIR_STEP)
+            chunker = AdaptiveChunker(prior * 2 * n * n, cfg.n_steps)
     t0 = 0
     if checkpoint_path is not None:
         import os
@@ -312,8 +360,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                 raise ValueError(
                     f"checkpoint {checkpoint_path} is at step {t0}, beyond "
                     f"this run's horizon n_steps={cfg.n_steps}")
-            unpack = (lambda a: TF3(a[0], a[1], a[2])) if is_tf else \
-                (lambda a: a)
+            unpack = _ckpt_unpack_fn(dtype)
             carry = (put(unpack(qc)), put(unpack(vc)),
                      put(unpack(extra["min_d2"])),
                      put(extra["hit"].astype(np.int32)),
@@ -337,7 +384,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             missile_speed=cfg.missile_speed,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-            f64_grid=_is_e64(dtype),
+            f64_grid=_is_grid(dtype),
         )
         if chunker is not None or on_accel:
             jax.block_until_ready(carry)
@@ -368,6 +415,15 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             v_snaps=tfloat.to_f64(v_snap),
             q_snaps_tf=_host_tf(q_snap),
             v_snaps_tf=_host_tf(v_snap),
+        )
+    if _is_e64(dtype):
+        # E64 <-> f64 is exact: the f64 snapshots are lossless
+        return P12Result(
+            min_dist=float(np.sqrt(f64emu.e64_to_f64(min_d2))),
+            hit_time_step=int(hit),
+            arrivals=np.asarray(arr),
+            q_snaps=f64emu.e64_to_f64(q_snap),
+            v_snaps=f64emu.e64_to_f64(v_snap),
         )
     return P12Result(
         min_dist=float(np.sqrt(np.asarray(min_d2))),
@@ -402,6 +458,8 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
     if isinstance(q, TF3):
         pr = tfloat.const(planet_radius)
         r2 = pr * pr
+    elif isinstance(q, E64):
+        r2 = f64emu.const_e(float(planet_radius) * float(planet_radius))
     else:
         r2 = planet_radius * planet_radius
     cs = int(chunk_steps)
@@ -552,7 +610,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
     D = len(idx)
     is_tf = _is_tf_dtype(dtype)
     conv = _make_converter(dtype)
-    host_dtype = np.float64 if is_tf else dtype
+    host_dtype = np.float64 if _is_ext(dtype) else dtype
     eligible = ((p12.arrivals[idx] != -2) &
                 (p12.arrivals[idx] <= p12.hit_time_step))
 
@@ -588,7 +646,9 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             # Adaptive, measured in units of `cs`-step chunks. c_limit is a
             # traced argument, so resizing costs no recompile here.
             from ..utils.chunking import AdaptiveChunker
-            per_chunk_sec = _DD_SEC_PER_PAIR_STEP * D * scene.n * scene.n * cs
+            prior = (_E64_SEC_PER_PAIR_STEP if _is_e64(dtype)
+                     else _DD_SEC_PER_PAIR_STEP)
+            per_chunk_sec = prior * D * scene.n * scene.n * cs
             chunker = AdaptiveChunker(per_chunk_sec, n_chunks, floor=1)
 
     put = functools.partial(jax.device_put, device=device)
@@ -597,6 +657,10 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
         # re-inject 2^-53 noise right at the resume point)
         q = put(p12.q_snaps_tf[np.asarray(idx)])
         v = put(p12.v_snaps_tf[np.asarray(idx)])
+    elif _is_e64(dtype):
+        # f64 snapshots are lossless for the softfloat rep
+        q = put(conv(p12.q_snaps[idx]))
+        v = put(conv(p12.v_snaps[idx]))
     else:
         q = put(np.asarray(p12.q_snaps[idx], dtype=dtype))
         v = put(np.asarray(p12.v_snaps[idx], dtype=dtype))
@@ -622,8 +686,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
                     "different scene/config/precision/scenario set — "
                     "refusing to resume")
             c = int(step)
-            unpack = (lambda a: TF3(a[0], a[1], a[2])) if is_tf else \
-                (lambda a: a)
+            unpack = _ckpt_unpack_fn(dtype)
             q = put(unpack(qc))
             v = put(unpack(vc))
             hit_flag = put(extra["hit_flag"].astype(bool))
@@ -637,7 +700,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             planet_radius=cfg.planet_radius,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-            chunk_steps=cs, f64_grid=_is_e64(dtype),
+            chunk_steps=cs, f64_grid=_is_grid(dtype),
         )
         c_new = int(c_j)   # materializes the carry (blocks)
         if chunker is not None:

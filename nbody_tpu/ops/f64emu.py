@@ -558,3 +558,158 @@ def to_f64(hi, lo):
     """Packed (hi, lo) -> host numpy float64. Exact."""
     u = (np.asarray(hi, np.uint64) << 32) | np.asarray(lo, np.uint64)
     return u.view(np.float64)
+
+
+def from_i32(t):
+    """Traced int32 -> packed pair, exact for |t| < 2^24 (via an exact
+    float32 convert and a bit-level f32 -> f64 widening)."""
+    f = t.astype(F32)
+    bits = _u(jax.lax.bitcast_convert_type(f, jnp.int32))
+    s = bits >> 31
+    e32 = (bits >> 23) & _u(0xFF)
+    m32 = bits & _u(0x7FFFFF)
+    zero = e32 == 0
+    e64 = e32 + _u(1023 - 127)
+    hi = (s << 31) | (e64 << 20) | (m32 >> 3)
+    lo = (m32 & _u(7)) << 29
+    hi = jnp.where(zero, s << 31, hi)
+    lo = jnp.where(zero, _u(0), lo)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# E64: array-like wrapper with binary64 operator semantics
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class E64:
+    """An array of packed binary64 values (hi, lo uint32 components).
+
+    Every overloaded operator is a correctly-rounded IEEE binary64
+    operation (the softfloat ops above), so expressions written with E64
+    operands reproduce C++ double expressions bit-for-bit — the property
+    the answer-grade 'e64' solver path rests on (it runs
+    native/core.cc:98-120's op sequence verbatim)."""
+
+    __slots__ = ("hi", "lo")
+    __array_priority__ = 100
+
+    def __init__(self, hi, lo):
+        self.hi, self.lo = hi, lo
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- array-ish surface ---------------------------------------------------
+    @property
+    def shape(self):
+        return jnp.shape(self.hi)
+
+    @property
+    def ndim(self):
+        return jnp.ndim(self.hi)
+
+    def __getitem__(self, idx):
+        return E64(self.hi[idx], self.lo[idx])
+
+    def reshape(self, *s):
+        return E64(self.hi.reshape(*s), self.lo.reshape(*s))
+
+    def __repr__(self):
+        return f"E64(shape={self.shape})"
+
+    # -- arithmetic (correctly-rounded binary64) -----------------------------
+    def __neg__(self):
+        h, l = neg(self.hi, self.lo)
+        return E64(h, l)
+
+    def __add__(self, other):
+        o = _as_e64(other)
+        return E64(*add(self.hi, self.lo, o.hi, o.lo))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = _as_e64(other)
+        return E64(*sub(self.hi, self.lo, o.hi, o.lo))
+
+    def __rsub__(self, other):
+        o = _as_e64(other)
+        return E64(*sub(o.hi, o.lo, self.hi, self.lo))
+
+    def __mul__(self, other):
+        o = _as_e64(other)
+        return E64(*mul(self.hi, self.lo, o.hi, o.lo))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        o = _as_e64(other)
+        return E64(*div(self.hi, self.lo, o.hi, o.lo))
+
+    # -- IEEE comparisons ----------------------------------------------------
+    def __lt__(self, other):
+        o = _as_e64(other)
+        return lt(self.hi, self.lo, o.hi, o.lo)
+
+    def __gt__(self, other):
+        o = _as_e64(other)
+        return lt(o.hi, o.lo, self.hi, self.lo)
+
+    def __le__(self, other):
+        o = _as_e64(other)
+        return ~lt(o.hi, o.lo, self.hi, self.lo)
+
+    def __ge__(self, other):
+        o = _as_e64(other)
+        return ~lt(self.hi, self.lo, o.hi, o.lo)
+
+
+def _as_e64(x):
+    if isinstance(x, E64):
+        return x
+    return const_e(x)
+
+
+def const_e(x) -> E64:
+    """Exact E64 of a Python/f64 scalar (or numpy array)."""
+    hi, lo = from_f64(np.float64(x))
+    return E64(_u(hi), _u(lo))
+
+
+def sqrt_e(a: E64) -> E64:
+    return E64(*sqrt(a.hi, a.lo))
+
+
+def where_e(pred, a: E64, b: E64) -> E64:
+    return E64(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
+
+
+def minimum_e(a: E64, b: E64) -> E64:
+    """min with the spec's strict-< update (core.cc:159)."""
+    return where_e(b < a, b, a)
+
+
+def zeros_e(shape) -> E64:
+    z = jnp.zeros(shape, U32)
+    return E64(z, z)
+
+
+def is_finite_e(a: E64):
+    """False where the exponent field saturated to the inf/NaN pattern."""
+    return ((_u(a.hi) >> 20) & _u(0x7FF)) != 0x7FF
+
+
+def e64_from_f64_tree(x) -> E64:
+    """Host f64 array -> E64 with numpy components (device_put-ready)."""
+    hi, lo = from_f64(x)
+    return E64(hi, lo)
+
+
+def e64_to_f64(a: E64) -> np.ndarray:
+    return to_f64(np.asarray(a.hi), np.asarray(a.lo))

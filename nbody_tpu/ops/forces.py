@@ -136,6 +136,76 @@ def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
     return tf.stack(comps, axis=-1)
 
 
+def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
+                       fold: str = "serial"):
+    """BIT-EXACT binary64 accelerations via the integer softfloat
+    (ops/f64emu) — the answer-grade 'e64' TPU path.
+
+    Reproduces native/core.cc:98-110 exactly: per-pair op order
+      dx = q[j] - q[i];  d2 = ((dx*dx + dy*dy) + dz*dz) + eps*eps;
+      d3 = d2 * sqrt(d2);  term = ((G*m[j]) * dx) / d3
+    with every op correctly rounded to binary64, and (fold='serial') the
+    j-ascending accumulation order of the serial spec. G*m[j] is hoisted
+    out of the i loop — same value bit-for-bit, the spec just recomputes
+    it. The j == i term is included instead of skipped: its numerator is
+    +-0 so the term is +-0, and accumulating +-0 is an IEEE identity
+    (the accumulator can never be -0: it starts +0 and RNE sums of
+    nonzeros never produce -0). dist3 is the dsqrt form — measured
+    byte-golden against the pow goldens on every testcase.
+
+    fold='tree' replaces the serial j-order with a fixed pairwise-halving
+    order: still deterministic and correctly rounded per op, but not the
+    spec's accumulation order (use for throughput experiments; the graded
+    path defaults to 'serial').
+
+    q: E64 (..., n, 3); m_eff: E64 (..., n). Returns E64 (..., n, 3).
+    """
+    from . import f64emu as fe
+    E64 = fe.E64
+
+    n = q.shape[-2]
+    # dq[..., i, j, :] = q_j - q_i
+    qj = q[..., None, :, :]
+    qi = q[..., :, None, :]
+    dq = [qj[..., k] - qi[..., k] for k in range(3)]       # 3 x (..., i, j)
+    d2 = ((dq[0] * dq[0] + dq[1] * dq[1]) + dq[2] * dq[2]) \
+        + fe.const_e(float(eps) * float(eps))
+    d3 = d2 * fe.sqrt_e(d2)
+    gm = fe.const_e(float(G)) * m_eff                      # (..., j)
+    gmj = gm[..., None, :]                                 # (..., i=1, j)
+    terms = [(gmj * dq[k]) / d3 for k in range(3)]         # (..., i, j)
+
+    def fold_serial(t):
+        # accumulate over j ascending — the spec's order (core.cc:99)
+        tj = E64(jnp.moveaxis(t.hi, -1, 0), jnp.moveaxis(t.lo, -1, 0))
+        acc0 = fe.zeros_e(t.shape[:-1])
+        acc, _ = lax.scan(lambda a, x: (a + E64(x[0], x[1]), None),
+                          acc0, (tj.hi, tj.lo), unroll=8)
+        return acc
+
+    def fold_tree(t):
+        # fixed pairwise halving over j (deterministic, not spec order)
+        hi, lo = t.hi, t.lo
+        m = hi.shape[-1]
+        p = 1
+        while p < m:
+            p *= 2
+        if p != m:
+            pad = [(0, 0)] * (hi.ndim - 1) + [(0, p - m)]
+            hi = jnp.pad(hi, pad)
+            lo = jnp.pad(lo, pad)
+        cur = E64(hi, lo)
+        while cur.shape[-1] > 1:
+            h = cur.shape[-1] // 2
+            cur = cur[..., :h] + cur[..., h:2 * h]
+        return cur[..., 0]
+
+    folder = fold_serial if fold == "serial" else fold_tree
+    comps = [folder(t) for t in terms]
+    return E64(jnp.stack([c.hi for c in comps], axis=-1),
+               jnp.stack([c.lo for c in comps], axis=-1))
+
+
 def pairwise_accel_fast(q, m_eff, *, G: float, eps: float):
     """Throughput-oriented variant (fp32/bf16 paths): rsqrt instead of a
     divide, factored as w_ij = (G*m_j) * inv_d^3; a = sum_j w_ij * dq."""

@@ -42,6 +42,17 @@ def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
             v = v + a * dt
             q = q + v * dt
         return q, v
+    from .f64emu import E64
+    if isinstance(q, E64):
+        # BIT-EXACT binary64 path: v += fl(a*dt); q += fl(v*dt), every op
+        # correctly rounded (core.cc:111-120); the force kernel reproduces
+        # the spec's per-pair op order and j-accumulation order.
+        from .forces import pairwise_accel_e64
+
+        a = pairwise_accel_e64(q, m_eff, G=G, eps=eps)
+        v = v + a * dt
+        q = q + v * dt
+        return q, v
     if fast:
         a = pairwise_accel_fast(q, m_eff, G=G, eps=eps)
     else:

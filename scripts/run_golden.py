@@ -29,7 +29,8 @@ ALL_CASES = ["b20", "b30", "b40", "b50", "b60", "b70", "b80", "b90",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--precision", default="f64",
-                    choices=["exact", "f64", "ddp", "dd+", "tf3", "dd", "f32"])
+                    choices=["exact", "f64", "e64", "ddp", "dd+", "tf3",
+                             "dd", "f32"])
     ap.add_argument("--cases", default=",".join(ALL_CASES))
     ap.add_argument("--out", default=None)
     ap.add_argument("--dist3-mode", default=None,
