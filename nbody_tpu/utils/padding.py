@@ -64,6 +64,7 @@ def pad_scene(scene: Scene, n_target: int | None = None,
     if n_pad > 0:
         dummy_targets = [scene.n + (i % n_pad) for i in range(d_pad)]
     else:
+        # device_cnt > 0 here: the zero-device case forces d_pad = 0 above
         dummy_targets = [int(scene.device_idx[0])] * d_pad
     device_idx = np.concatenate(
         [scene.device_idx, np.asarray(dummy_targets, dtype=np.int64)])
