@@ -51,7 +51,8 @@ def pairwise_accel(q, m_eff, *, G: float, eps: float,
     return terms.sum(axis=-2)                           # reduce over j
 
 
-def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
+def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float,
+                       j_tile: int | None = None):
     """Extended-precision (triple-float32, ~2^-64/op) accelerations — the
     answer-grade TPU path (precision 'ddp'). Same physics as pairwise_accel
     (hw5.cu:199-210), rsqrt formulation.
@@ -88,12 +89,66 @@ def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
     """
     from . import tfloat as tf
 
-    x = q[..., 0]
-    y = q[..., 1]
-    z = q[..., 2]
-    dx = x[..., None, :] - x[..., :, None]          # (..., i, j)
-    dy = y[..., None, :] - y[..., :, None]
-    dz = z[..., None, :] - z[..., :, None]
+    n = q.shape[-2]
+    # Mass gauge: anchor the largest |G*m| at ~2^16 (exact 2^k lift) —
+    # global, shared by every j-tile.
+    mx = jnp.max(m_eff.hi)
+    gm_mag = jnp.float32(abs(G)) * mx
+    gscale_e = jnp.where(gm_mag > 0,
+                         jnp.int32(16) - tf.exp_bits(gm_mag), jnp.int32(0))
+    gscale = tf.exp2_i32(gscale_e)
+    g0 = tf.const(G, like=m_eff.hi)
+    g_s = tf.TF3(g0.hi * gscale, g0.mid * gscale, g0.lo * gscale)  # exact
+    gm = g_s * m_eff
+
+    if j_tile is None:
+        j_tile = n if n <= 2048 else 1024
+    if n <= j_tile:
+        return _tf3_accel_tile(q, q, gm, gscale_e, eps)
+
+    # j-blocked: O(n * j_tile) live memory. Each tile's contribution is
+    # computed with the full per-tile gauges and unscaled, then tiles are
+    # combined with tf3 adds in fixed ascending order — deterministic;
+    # error ~(n/j_tile) * 2^-70 per row, still far beyond f64. (A single
+    # tile reproduces the unblocked kernel bit-for-bit.)
+    npad = (-n) % j_tile
+    if npad:
+        padq = [(0, 0)] * (q.ndim - 2) + [(0, npad), (0, 0)]
+        padm = [(0, 0)] * (m_eff.ndim - 1) + [(0, npad)]
+        pq = lambda a: jnp.pad(a, padq, mode="edge")
+        pm = lambda a: jnp.pad(a, padm)               # zero mass -> 0 terms
+        qj = tf.TF3(pq(q.hi), pq(q.mid), pq(q.lo))
+        gmp = tf.TF3(pm(gm.hi), pm(gm.mid), pm(gm.lo))
+    else:
+        qj, gmp = q, gm
+    nb = (n + npad) // j_tile
+    resh = lambda a, extra: jnp.moveaxis(
+        a.reshape(a.shape[:a.ndim - 1 - extra] + (nb, j_tile)
+                  + a.shape[a.ndim - extra:]), -2 - extra, 0)
+    qt = tf.TF3(resh(qj.hi, 1), resh(qj.mid, 1), resh(qj.lo, 1))
+    mt = tf.TF3(resh(gmp.hi, 0), resh(gmp.mid, 0), resh(gmp.lo, 0))
+
+    def one_tile(acc, xs):
+        qth, qtm, qtl, mth, mtm, mtl = xs
+        contrib = _tf3_accel_tile(q, tf.TF3(qth, qtm, qtl),
+                                  tf.TF3(mth, mtm, mtl), gscale_e, eps)
+        return tf.add(acc, contrib), None
+
+    acc0 = tf.zeros(q.shape)
+    acc, _ = lax.scan(one_tile, acc0,
+                      (qt.hi, qt.mid, qt.lo, mt.hi, mt.mid, mt.lo))
+    return acc
+
+
+def _tf3_accel_tile(q_i, q_j, gm_j_scaled, gscale_e, eps: float):
+    """One j-tile of the tf3 force: accelerations of all q_i rows from the
+    q_j tile's bodies (gm_j_scaled = G*m_j lifted by 2^gscale_e). With
+    q_j == q_i this IS the original unblocked kernel, op for op."""
+    from . import tfloat as tf
+
+    dx = q_j[..., 0][..., None, :] - q_i[..., 0][..., :, None]  # (..., i, j)
+    dy = q_j[..., 1][..., None, :] - q_i[..., 1][..., :, None]
+    dz = q_j[..., 2][..., None, :] - q_i[..., 2][..., :, None]
     eps2 = tf.const(eps, like=dx.hi) * tf.const(eps, like=dx.hi)
     d2 = dx * dx + dy * dy + dz * dz + eps2
     coincident = tf.eq(d2, eps2)   # |dq|^2 rounds to 0 only for dq == 0
@@ -104,17 +159,9 @@ def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
     rinvn = tf.rsqrt(d2n)                           # in (0.5, 1]
     rinv3n = (rinvn * rinvn) * rinvn                # in (0.125, 1]
     pe = jnp.int32(-3) * (e2 >> 1)                  # d^-3 = rinv3n * 2^pe
-    # Mass gauge: anchor the largest |G*m| at ~2^16 (exact 2^k lift).
-    mx = jnp.max(m_eff.hi)
-    gm_mag = jnp.float32(abs(G)) * mx
-    gscale_e = jnp.where(gm_mag > 0,
-                         jnp.int32(16) - tf.exp_bits(gm_mag), jnp.int32(0))
-    gscale = tf.exp2_i32(gscale_e)
-    g0 = tf.const(G, like=m_eff.hi)
-    g_s = tf.TF3(g0.hi * gscale, g0.mid * gscale, g0.lo * gscale)  # exact
-    gm = g_s * m_eff
-    gm_j = tf.TF3(gm.hi[..., None, :], gm.mid[..., None, :],
-                  gm.lo[..., None, :])              # broadcast over i
+    gm_j = tf.TF3(gm_j_scaled.hi[..., None, :],
+                  gm_j_scaled.mid[..., None, :],
+                  gm_j_scaled.lo[..., None, :])     # broadcast over i
     w = gm_j * rinv3n                               # (..., i, j), healthy
     comps = []
     for dc in (dx, dy, dz):
@@ -136,8 +183,52 @@ def pairwise_accel_tf3(q, m_eff, *, G: float, eps: float):
     return tf.stack(comps, axis=-1)
 
 
+def pairwise_accel_blocked(q, m_eff, *, G: float, eps: float,
+                           dist3_mode: str = "dsqrt", block: int = 2048):
+    """j-blocked variant of `pairwise_accel`: O(n * block) live memory
+    instead of the O(n^2) interaction tensor, for large n on accelerators
+    (the dd path at N=65536 needs ~100 GB materialized; blocked it needs
+    ~1.6 GB). The j-reduction becomes (fixed-order partial sums over
+    blocks) + (fixed-order block accumulation) — deterministic, but a
+    DIFFERENT rounding order than `pairwise_accel`'s single jnp.sum, so
+    the graded f64 CPU path keeps the unblocked kernel (its byte-golden
+    record pins that order); dd/f32 are trajectory-grade and unaffected.
+
+    Reference analog: the tiled K5 kernel's shared-memory j-tiles,
+    hw5.cu:159-215.
+    """
+    n = q.shape[-2]
+    if n % block != 0:
+        # pad j with zero-mass bodies at q[0] (zero-term contributions)
+        pad = block - n % block
+        padw = [(0, 0)] * (q.ndim - 2) + [(0, pad), (0, 0)]
+        q_j = jnp.pad(q, padw, mode="edge")
+        m_j = jnp.pad(m_eff, [(0, 0)] * (m_eff.ndim - 1) + [(0, pad)])
+    else:
+        q_j, m_j = q, m_eff
+    nb = q_j.shape[-2] // block
+    # (..., nb, block, 3) / (..., nb, block) with the block axis leading
+    qb = jnp.moveaxis(
+        q_j.reshape(q_j.shape[:-2] + (nb, block, 3)), -3, 0)
+    mb = jnp.moveaxis(
+        m_j.reshape(m_j.shape[:-1] + (nb, block)), -2, 0)
+
+    def one_block(acc, xs):
+        qj, mj = xs
+        dq = qj[..., None, :, :] - q[..., :, None, :]   # (..., n, block, 3)
+        d2 = (dq * dq).sum(axis=-1) + (eps * eps)
+        dist3 = _dist3(d2, dist3_mode)
+        gm = G * mj
+        terms = (gm[..., None, :, None] * dq) / dist3[..., None]
+        return acc + terms.sum(axis=-2), None
+
+    acc0 = jnp.zeros(q.shape, q.dtype)
+    acc, _ = lax.scan(one_block, acc0, (qb, mb))
+    return acc
+
+
 def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
-                       fold: str = "serial"):
+                       fold: str = "serial", j_tile: int | None = None):
     """BIT-EXACT binary64 accelerations via the integer softfloat
     (ops/f64emu) — the answer-grade 'e64' TPU path.
 
@@ -153,10 +244,16 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
     nonzeros never produce -0). dist3 is the dsqrt form — measured
     byte-golden against the pow goldens on every testcase.
 
-    fold='tree' replaces the serial j-order with a fixed pairwise-halving
-    order: still deterministic and correctly rounded per op, but not the
-    spec's accumulation order (use for throughput experiments; the graded
-    path defaults to 'serial').
+    The j axis is processed in ascending tiles of `j_tile` (default: whole
+    axis up to 2048, then 1024): live memory is O(n * j_tile) instead of
+    the O(n^2) interaction tensor, and the serial accumulation order is
+    UNCHANGED — tiles ascend and the in-tile fold ascends, so the global
+    j order is exactly the spec's.
+
+    fold='tree' replaces the serial j-order with a fixed halving order
+    inside each tile (tiles still accumulate in ascending order): still
+    deterministic and correctly rounded per op, but not the spec's
+    accumulation order (throughput experiments only).
 
     q: E64 (..., n, 3); m_eff: E64 (..., n). Returns E64 (..., n, 3).
     """
@@ -164,46 +261,85 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
     E64 = fe.E64
 
     n = q.shape[-2]
-    # dq[..., i, j, :] = q_j - q_i
-    qj = q[..., None, :, :]
-    qi = q[..., :, None, :]
-    dq = [qj[..., k] - qi[..., k] for k in range(3)]       # 3 x (..., i, j)
-    d2 = ((dq[0] * dq[0] + dq[1] * dq[1]) + dq[2] * dq[2]) \
-        + fe.const_e(float(eps) * float(eps))
-    d3 = d2 * fe.sqrt_e(d2)
-    gm = fe.const_e(float(G)) * m_eff                      # (..., j)
-    gmj = gm[..., None, :]                                 # (..., i=1, j)
-    terms = [(gmj * dq[k]) / d3 for k in range(3)]         # (..., i, j)
+    if j_tile is None:
+        j_tile = n if n <= 2048 else 1024
+    # pad j with zero-mass bodies (their terms are +-0: IEEE identity)
+    npad = (-n) % j_tile
+    qh, ql = q.hi, q.lo
+    mh, ml = m_eff.hi, m_eff.lo
+    if npad:
+        padw = [(0, 0)] * (qh.ndim - 2) + [(0, npad), (0, 0)]
+        qh = jnp.pad(qh, padw, mode="edge")
+        ql = jnp.pad(ql, padw, mode="edge")
+        padm = [(0, 0)] * (mh.ndim - 1) + [(0, npad)]
+        mh = jnp.pad(mh, padm)
+        ml = jnp.pad(ml, padm)
+    nb = (n + npad) // j_tile
+    # tile axis leading: (nb, ..., j_tile, [3])
+    tile = lambda a, extra: jnp.moveaxis(
+        a.reshape(a.shape[:-1 - extra] + (nb, j_tile)
+                  + a.shape[a.ndim - extra:]), -2 - extra, 0)
+    qth = tile(qh, 1)
+    qtl = tile(ql, 1)
+    mth = tile(mh, 0)
+    mtl = tile(ml, 0)
 
-    def fold_serial(t):
-        # accumulate over j ascending — the spec's order (core.cc:99)
-        tj = E64(jnp.moveaxis(t.hi, -1, 0), jnp.moveaxis(t.lo, -1, 0))
-        acc0 = fe.zeros_e(t.shape[:-1])
+    eps2 = fe.const_e(float(eps) * float(eps))
+    Gc = fe.const_e(float(G))
+    qi = [q[..., k][..., :, None] for k in range(3)]       # (..., n, 1)
+
+    def tile_terms(qt, mt):
+        qj = [qt[..., k][..., None, :] for k in range(3)]  # (..., 1, T)
+        dq = [qj[k] - qi[k] for k in range(3)]             # (..., n, T)
+        d2 = ((dq[0] * dq[0] + dq[1] * dq[1]) + dq[2] * dq[2]) + eps2
+        d3 = d2 * fe.sqrt_e(d2)
+        gmj = (Gc * mt)[..., None, :]
+        return [(gmj * dq[k]) / d3 for k in range(3)]
+
+    def fold_serial(terms, init):
+        # continue the spec's running accumulation THROUGH the tile:
+        # acc = (((init + t0) + t1) + ...) — starting from zero and adding
+        # the partial afterwards would be a different rounding sequence.
+        # All three axes ride ONE scan (a fold iteration is ~150 lane-ops;
+        # TPU while-loop per-iteration overhead would otherwise dominate —
+        # measured at unroll=8, 3 scans: the fold, not the pair terms,
+        # bounded the n=4096 force eval), with a moderate unroll on top.
+        t3h = jnp.moveaxis(jnp.stack([t.hi for t in terms], axis=-1), -2, 0)
+        t3l = jnp.moveaxis(jnp.stack([t.lo for t in terms], axis=-1), -2, 0)
         acc, _ = lax.scan(lambda a, x: (a + E64(x[0], x[1]), None),
-                          acc0, (tj.hi, tj.lo), unroll=8)
+                          init, (t3h, t3l), unroll=16)
         return acc
 
-    def fold_tree(t):
-        # fixed pairwise halving over j (deterministic, not spec order)
-        hi, lo = t.hi, t.lo
-        m = hi.shape[-1]
+    def fold_tree(terms, init):
+        t3h = jnp.stack([t.hi for t in terms], axis=-1)   # (..., n, T, 3)
+        t3l = jnp.stack([t.lo for t in terms], axis=-1)
+        m = t3h.shape[-2]
         p = 1
         while p < m:
             p *= 2
         if p != m:
-            pad = [(0, 0)] * (hi.ndim - 1) + [(0, p - m)]
-            hi = jnp.pad(hi, pad)
-            lo = jnp.pad(lo, pad)
-        cur = E64(hi, lo)
-        while cur.shape[-1] > 1:
-            h = cur.shape[-1] // 2
-            cur = cur[..., :h] + cur[..., h:2 * h]
-        return cur[..., 0]
+            pad = [(0, 0)] * (t3h.ndim - 2) + [(0, p - m), (0, 0)]
+            t3h = jnp.pad(t3h, pad)
+            t3l = jnp.pad(t3l, pad)
+        cur = E64(t3h, t3l)
+        while cur.shape[-2] > 1:
+            h = cur.shape[-2] // 2
+            cur = cur[..., :h, :] + cur[..., h:2 * h, :]
+        return init + cur[..., 0, :]
 
     folder = fold_serial if fold == "serial" else fold_tree
-    comps = [folder(t) for t in terms]
-    return E64(jnp.stack([c.hi for c in comps], axis=-1),
-               jnp.stack([c.lo for c in comps], axis=-1))
+
+    def one_tile(acc, xs):
+        th, tl, mh_, ml_ = xs
+        terms = tile_terms(E64(th, tl), E64(mh_, ml_))
+        return folder(terms, acc), None
+
+    acc0 = fe.zeros_e(q.shape)
+    if nb == 1:
+        out, _ = one_tile(acc0, (qth[0], qtl[0], mth[0], mtl[0]))
+        return out
+    acc, _ = lax.scan(one_tile, acc0, (qth, qtl, mth, mtl))
+    return acc
 
 
 def pairwise_accel_fast(q, m_eff, *, G: float, eps: float):

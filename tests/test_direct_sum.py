@@ -159,3 +159,21 @@ def test_solve_scene_no_hit_answers(b20):
     assert ans.gravity_device_id == -1
     assert ans.missile_cost == 0.0
     assert ans.min_dist > 0
+
+
+def test_blocked_force_kernel_matches_unblocked():
+    """pairwise_accel_blocked (the large-n HBM-feasible formulation) vs
+    the O(n^2)-materializing kernel: same physics, different (still
+    deterministic) summation order -> near-ulp agreement, including a
+    block size that does not divide n."""
+    from nbody_tpu.ops.forces import pairwise_accel, pairwise_accel_blocked
+
+    rng = np.random.RandomState(11)
+    n = 37
+    q = rng.randn(2, n, 3) * 1e9
+    m = np.abs(rng.randn(2, n)) * 1e15
+    full = np.asarray(pairwise_accel(q, m, G=6.674e-11, eps=1e-3))
+    for block in (8, 16, 37):
+        blk = np.asarray(pairwise_accel_blocked(q, m, G=6.674e-11,
+                                                eps=1e-3, block=block))
+        np.testing.assert_allclose(blk, full, rtol=1e-13, atol=0)

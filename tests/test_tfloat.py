@@ -292,3 +292,28 @@ def test_sqr_exact_and_jit_safe():
                               Fraction(x[i]) * Fraction(x[i]))
             for i in range(512))
         assert worst < 2.0 ** -63, f"sqr worst rel err {worst}"
+
+
+def test_tf3_force_blocked_matches_unblocked():
+    """The j-tiled tf3 force (large-n memory path) agrees with the
+    single-tile kernel to tile-combination accuracy (~nb * 2^-70-class),
+    including a tile size that does not divide n."""
+    import jax
+
+    from nbody_tpu.ops.forces import pairwise_accel_tf3
+
+    rng = np.random.default_rng(21)
+    n = 41
+    q = rng.standard_normal((2, n, 3)).astype(np.float64)
+    m = np.abs(rng.standard_normal((2, n))).astype(np.float64)
+    qe = tf.from_f64(q)
+    me = tf.from_f64(m)
+    qe = tf.TF3(*map(jnp.asarray, (qe.hi, qe.mid, qe.lo)))
+    me = tf.TF3(*map(jnp.asarray, (me.hi, me.mid, me.lo)))
+    full = tf.to_f64(jax.jit(
+        lambda a, b: pairwise_accel_tf3(a, b, G=6.674e-11, eps=1e-3))(qe, me))
+    for jt in (16, 13):
+        blk = tf.to_f64(jax.jit(
+            lambda a, b: pairwise_accel_tf3(a, b, G=6.674e-11, eps=1e-3,
+                                            j_tile=jt))(qe, me))
+        np.testing.assert_allclose(blk, full, rtol=1e-16, atol=0)
