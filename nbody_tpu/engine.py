@@ -132,14 +132,15 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
             dtype = np.float32
             fast = True
         elif precision == "ddp":
-            # ANSWER-GRADE: triple-f32 force kernel (~2^-70/op,
+            # NEAR-ANSWER-GRADE: triple-f32 force kernel (~2^-70/op,
             # ops/forces.pairwise_accel_tf3) + f64-GRID state semantics
-            # (ops/tfloat.round53) — the graded outputs are a robust
-            # fixpoint of f64 arithmetic, so the accelerator reproduces
-            # f64's state-update sequence exactly while computing forces
-            # beyond f64 accuracy (measured: the pure-accuracy trajectory,
-            # matching a 50-digit referee, lands 151x off the golden
-            # min_dist — see results/ACCURACY.md round 2).
+            # (ops/tfloat.round53). Measured on the full TPU sweep
+            # (results/golden_ddp_tpu_r2.json): 10/12 byte-golden, 11/12
+            # discrete answers — the tf3 force differs from the spec's
+            # f64 force by ulps, and the rare state-bit flips that leak
+            # through the f64-grid rounding chaos-amplify on the two
+            # most sensitive cases (b30 late hit, b1024 min_dist 2.4e-4).
+            # For GUARANTEED golden answers on TPU use precision 'e64'.
             dtype = "tf3grid"
         elif precision == "tf3":
             # TRUTH-GRADE: raw triple-f32 trajectories, closer to the
