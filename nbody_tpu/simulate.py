@@ -45,10 +45,17 @@ def _chunk_scan(q, v, a, m0, m_half, fst_chunk, *, n_sub, dt, eps, G, fast,
                 dist3_mode, use_pallas, integrator="euler", tile_i=512,
                 tile_j=2048):
     from .ops.integrate import symplectic_euler_step, kdk_leapfrog_step
-    from .ops.forces import pairwise_accel_fast
+    from .ops.forces import (pairwise_accel_e64, pairwise_accel_fast,
+                             pairwise_accel_tf3)
     from .ops.pallas_forces import pallas_accel
+    from .ops.f64emu import E64
+    from .ops.tfloat import TF3
 
     def accel(q, m_eff):
+        if isinstance(q, E64):
+            return pairwise_accel_e64(q, m_eff, G=G, eps=eps)
+        if isinstance(q, TF3):
+            return pairwise_accel_tf3(q, m_eff, G=G, eps=eps)
         if use_pallas:
             return pallas_accel(q, (G * m_eff).astype(q.dtype), eps=eps,
                                 tile_i=tile_i, tile_j=tile_j)
@@ -105,7 +112,7 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     run_scene = scene
     run_cfg = dataclasses.replace(cfg,
                                   dist3_mode=cfg.resolved_dist3(precision))
-    dtype = np.float64
+    dtype: object = np.float64
     fast = False
     if precision in ("dd", "f32"):
         rescale = compute_rescale(scene, eps=run_cfg.eps)
@@ -114,6 +121,18 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         fast = True
         if precision == "f32":
             dtype = np.float32
+    elif precision == "e64":
+        # bit-exact binary64 softfloat — full exponent range, no rescale
+        dtype = "e64"
+    elif precision in ("tf3", "ddp", "dd+"):
+        # truth-grade triple-f32 trajectories (simulate() has no graded
+        # decision quantities, so the f64-grid 'ddp' distinction does not
+        # apply here — both names run raw tf3)
+        rescale = compute_rescale(scene, eps=run_cfg.eps, anchor_accel=True,
+                                  G=run_cfg.G)
+        run_scene = rescale.apply_scene(scene)
+        run_cfg = rescale.apply_cfg(run_cfg)
+        dtype = "tf3"
     elif precision != "f64":
         raise ValueError(f"unknown precision for simulate: {precision}")
 
@@ -127,27 +146,48 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     m0 = run_scene.m * (1.0 if devices_on else (1.0 - mask))
     m_half = 0.5 * m0 * mask
 
+    from .models.direct_sum import _make_converter
+    conv = _make_converter(dtype)
+    host_dtype = np.float64 if isinstance(dtype, str) else dtype
     put = functools.partial(jax.device_put, device=device)
-    q = put(np.asarray(run_scene.q, dtype=dtype))
-    v = put(np.asarray(run_scene.v, dtype=dtype))
-    m0j = put(np.asarray(m0, dtype=dtype))
-    m_halfj = put(np.asarray(m_half, dtype=dtype))
+    q = put(conv(np.asarray(run_scene.q, dtype=host_dtype)))
+    v = put(conv(np.asarray(run_scene.v, dtype=host_dtype)))
+    m0j = put(conv(np.asarray(m0, dtype=host_dtype)))
+    m_halfj = put(conv(np.asarray(m_half, dtype=host_dtype)))
 
     inv = 1.0 / rescale.length_scale
+
+    def host_qv(q, v):
+        if isinstance(dtype, str):
+            from .ops import tfloat
+            from .ops.f64emu import e64_to_f64
+            to64 = e64_to_f64 if dtype == "e64" else tfloat.to_f64
+            return to64(q)[:scene.n] * inv, to64(v)[:scene.n] * inv
+        return np.asarray(q)[:scene.n] * inv, np.asarray(v)[:scene.n] * inv
     # Leapfrog carries the acceleration; seed it at the initial positions
     # with the first step's oscillating masses.
     if integrator == "leapfrog":
+        if isinstance(dtype, str):
+            raise NotImplementedError(
+                "simulate(): leapfrog is implemented for the native-array "
+                "paths (f64/dd/f32); the e64/tf3 representations run the "
+                "spec's semi-implicit Euler")
         from .ops.forces import pairwise_accel_fast
         m_eff0 = m0j + m_halfj * dtype(fst[min(1, n_steps)])
         a = pairwise_accel_fast(q, m_eff0, G=run_cfg.G, eps=run_cfg.eps)
+    elif isinstance(dtype, str):
+        from .ops.f64emu import zeros_e
+        from .ops import tfloat
+        a = (zeros_e(np.shape(run_scene.q)) if dtype == "e64"
+             else tfloat.zeros(np.shape(run_scene.q)))
     else:
         a = jnp.zeros_like(q)
 
     step = 0
     while step < n_steps:
         n_sub = min(chunk, n_steps - step)
-        fst_chunk = put(np.asarray(fst[step + 1: step + 1 + n_sub],
-                                 dtype=dtype))
+        fst_chunk = put(conv(np.asarray(fst[step + 1: step + 1 + n_sub],
+                                        dtype=host_dtype)))
         q, v, a = _chunk_scan(q, v, a, m0j, m_halfj, fst_chunk, n_sub=n_sub,
                               dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
                               fast=fast, dist3_mode=run_cfg.dist3_mode,
@@ -155,10 +195,8 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
                               tile_i=run_cfg.tile_i, tile_j=run_cfg.tile_j)
         step += n_sub
         if on_chunk is not None:
-            st = SimState(step=step,
-                          q=np.asarray(q)[:scene.n] * inv,
-                          v=np.asarray(v)[:scene.n] * inv)
-            on_chunk(st)
+            hq, hv = host_qv(q, v)
+            on_chunk(SimState(step=step, q=hq, v=hv))
 
-    return SimState(step=step, q=np.asarray(q)[:scene.n] * inv,
-                    v=np.asarray(v)[:scene.n] * inv)
+    hq, hv = host_qv(q, v)
+    return SimState(step=step, q=hq, v=hv)

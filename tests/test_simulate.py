@@ -56,3 +56,32 @@ def test_simulate_checkpoint_resume(tmp_path):
         qq, vv, _ = run_steps(qq, vv, scene.m, isdev, 1, devices_on=True,
                               start_step=s)
     np.testing.assert_allclose(states[2].q, qq, rtol=1e-12)
+
+
+def test_simulate_tf3_matches_f64():
+    """The truth-grade tf3 representation through simulate(): trajectories
+    agree with f64 to far beyond f64's own rounding over a short horizon
+    (and the rescale round-trips exactly)."""
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    ref = simulate(scene, n_steps=25, chunk=25, platform="cpu")
+    tf3 = simulate(scene, n_steps=25, chunk=25, precision="tf3",
+                   platform="cpu")
+    np.testing.assert_allclose(tf3.q, ref.q, rtol=1e-13)
+    np.testing.assert_allclose(tf3.v, ref.v, rtol=1e-13)
+
+
+def test_simulate_e64_bit_identical_to_f64():
+    """The bit-exact binary64 representation through simulate(): the final
+    state must equal the f64 path's BIT FOR BIT."""
+    import pytest
+    if not os.environ.get("RUN_SLOW"):
+        pytest.skip("minutes of XLA:CPU compile; RUN_SLOW=1 (TPU validates"
+                    " e64 end-to-end in the golden sweep)")
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    ref = simulate(scene, n_steps=10, chunk=10, platform="cpu")
+    e64 = simulate(scene, n_steps=10, chunk=10, precision="e64",
+                   platform="cpu")
+    np.testing.assert_array_equal(e64.q.view(np.uint64),
+                                  ref.q.view(np.uint64))
+    np.testing.assert_array_equal(e64.v.view(np.uint64),
+                                  ref.v.view(np.uint64))
