@@ -262,7 +262,15 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
 
     n = q.shape[-2]
     if j_tile is None:
-        j_tile = n if n <= 2048 else 1024
+        # small tiles: the in-tile fold is fully inlined (compile cost
+        # scales with j_tile) and the outer tile scan amortizes the
+        # while-loop overhead over the whole tile's pair-term compute.
+        # Always leave >= 4 tiles: the Mosaic toolchain compiles the
+        # straight-line single-tile graph ~15x SLOWER (measured at n=48:
+        # 542 s single-tile, 141 s with 2 tiles — low trip counts get
+        # unrolled back into straight line — 11 s with 3+ tiles; 33 s for
+        # n=1024/16 tiles).
+        j_tile = 64 if n > 256 else max(4, (n + 3) // 4)
     # pad j with zero-mass bodies (their terms are +-0: IEEE identity)
     npad = (-n) % j_tile
     qh, ql = q.hi, q.lo
@@ -300,14 +308,18 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
         # continue the spec's running accumulation THROUGH the tile:
         # acc = (((init + t0) + t1) + ...) — starting from zero and adding
         # the partial afterwards would be a different rounding sequence.
-        # All three axes ride ONE scan (a fold iteration is ~150 lane-ops;
-        # TPU while-loop per-iteration overhead would otherwise dominate —
-        # measured at unroll=8, 3 scans: the fold, not the pair terms,
-        # bounded the n=4096 force eval), with a moderate unroll on top.
-        t3h = jnp.moveaxis(jnp.stack([t.hi for t in terms], axis=-1), -2, 0)
-        t3l = jnp.moveaxis(jnp.stack([t.lo for t in terms], axis=-1), -2, 0)
-        acc, _ = lax.scan(lambda a, x: (a + E64(x[0], x[1]), None),
-                          init, (t3h, t3l), unroll=16)
+        # The in-tile fold is a PYTHON loop (fully inlined): all three
+        # axes advance together per j, and there is no lax.scan here —
+        # measured on the TPU toolchain, scan(unroll < length) over a
+        # softfloat-add body compiles in ~6-9 MINUTES, while the same
+        # fold inlined inside the outer tile scan compiles in ~11 s.
+        # (Per-iteration while-loop overhead ~20 us also made a
+        # length-n scan fold dominate the n=4096 force eval.)
+        t3h = jnp.stack([t.hi for t in terms], axis=-1)   # (..., n, T, 3)
+        t3l = jnp.stack([t.lo for t in terms], axis=-1)
+        acc = init
+        for j in range(t3h.shape[-2]):
+            acc = acc + E64(t3h[..., j, :], t3l[..., j, :])
         return acc
 
     def fold_tree(terms, init):
