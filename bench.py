@@ -49,7 +49,21 @@ def main():
     vf = jax.device_put(jnp.asarray(v, jnp.float32), dev)
     gm = jax.device_put(jnp.asarray(G * m, jnp.float32), dev)
 
-    if on_tpu:
+    # the TPU worker kills single executions beyond ~60 s (measured);
+    # split each step's i-range so every execution stays ~<=30 s
+    pairs_per_step = float(n) * n
+    est_step_s = pairs_per_step / 1.8e11
+    n_splits = max(1, int(est_step_s / 30.0) + (est_step_s % 30.0 > 0))
+    if on_tpu and n_splits > 1:
+        from nbody_tpu.ops.pallas_forces import pallas_step_isplit
+
+        def host_steps(q, v):
+            for _ in range(steps):
+                q, v = pallas_step_isplit(q, v, gm, eps=eps, dt=dt,
+                                          n_splits=n_splits, tile_i=tile_i,
+                                          tile_j=tile_j)
+            return q, v
+    elif on_tpu:
         def one_step(carry, _):
             q, v = carry
             q, v = pallas_step(q, v, gm, eps=eps, dt=dt, tile_i=tile_i,
@@ -64,18 +78,28 @@ def main():
                                          fast=True)
             return (q, v), None
 
-    @jax.jit
-    def run(q, v):
-        (q, v), _ = lax.scan(one_step, (q, v), None, length=steps)
-        return q, v
+    if on_tpu and n_splits > 1:
+        run = host_steps          # host loop: bounded per-execution time
+    else:
+        @jax.jit
+        def run(q, v):
+            (q, v), _ = lax.scan(one_step, (q, v), None, length=steps)
+            return q, v
 
+    # On this remote-TPU platform block_until_ready is only reliable for
+    # single monolithic executions (measured: a chain of split dispatches
+    # "completes" in microseconds); the host-split path must force a
+    # device->host transfer to time honestly. The transfer (~50 MB at
+    # N=4M) is <2% of a split run's duration.
+    sync = (lambda out: np.asarray(out[0])) if (on_tpu and n_splits > 1) \
+        else jax.block_until_ready
     with jax.enable_x64(False):
         # warmup/compile
         out = run(qf, vf)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         out = run(qf, vf)
-        jax.block_until_ready(out)
+        sync(out)
         elapsed = time.perf_counter() - t0
 
     assert bool(jnp.isfinite(out[0]).all()), "non-finite positions"

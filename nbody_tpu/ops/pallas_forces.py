@@ -130,6 +130,33 @@ def _pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int, tile_j: int,
     )(qi, qrow, gmrow)
 
 
+def pallas_step_isplit(q, v, gm, *, eps: float, dt: float, n_splits: int,
+                       tile_i: int = 512, tile_j: int = 2048):
+    """One fused step with the force evaluation SPLIT into n_splits
+    device executions over i-row segments (each a pallas_accel_cross of
+    the segment's rows against all sources).
+
+    Why: the TPU worker kills single device executions beyond ~60 s
+    (measured: a 52.6 s N=3.1M force step runs; ~72 s at N=3.7M and a
+    105 s two-step N=3.1M scan both die with 'TPU device error'). One
+    N=4M step is ~97 s of work, so no monolithic kernel can run it;
+    splitting the i-range bounds each execution while computing the
+    identical fixed-order result (row sums are independent across i).
+    """
+    n = q.shape[0]
+    seg = -(-n // n_splits)
+    seg = ((seg + tile_i - 1) // tile_i) * tile_i
+    parts = []
+    for i0 in range(0, n, seg):
+        qi = lax.slice_in_dim(q, i0, min(i0 + seg, n))
+        parts.append(pallas_accel_cross(qi, q, gm, eps=eps, tile_i=tile_i,
+                                        tile_j=tile_j))
+    a = jnp.concatenate(parts, axis=0)
+    v = v + a * dt
+    q = q + v * dt
+    return q, v
+
+
 def pallas_step(q, v, gm, *, eps: float, dt: float, tile_i: int = 512,
                 tile_j: int = 2048):
     """Fused force + symplectic-Euler update (the Pallas fast path's analog
