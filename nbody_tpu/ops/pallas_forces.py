@@ -59,7 +59,7 @@ def _accel_kernel(qcol_ref, qrow_ref, gm_ref, out_ref, *, eps2: float):
 
 
 def pallas_accel(q, gm, *, eps: float, tile_i: int = 512,
-                 tile_j: int = 2048):
+                 tile_j: int = 2048, interpret: bool = False):
     """All-pairs accelerations. q: (n, 3) f32; gm: (n,) f32 = G*m_eff.
 
     n must be a multiple of tile_i and tile_j — pad with zero-mass bodies
@@ -79,7 +79,7 @@ def pallas_accel(q, gm, *, eps: float, tile_i: int = 512,
             f"(~3 live f32 tiles must fit in 16MB; keep TI*TJ <= 2^20)")
     with jax.enable_x64(False):
         return _pallas_accel_cross(q, q, gm, eps=eps, tile_i=tile_i,
-                                   tile_j=tile_j, interpret=False)
+                                   tile_j=tile_j, interpret=interpret)
 
 
 def pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int = 512,
@@ -131,7 +131,8 @@ def _pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int, tile_j: int,
 
 
 def pallas_step_isplit(q, v, gm, *, eps: float, dt: float, n_splits: int,
-                       tile_i: int = 512, tile_j: int = 2048):
+                       tile_i: int = 512, tile_j: int = 2048,
+                       interpret: bool = False):
     """One fused step with the force evaluation SPLIT into n_splits
     device executions over i-row segments (each a pallas_accel_cross of
     the segment's rows against all sources).
@@ -150,7 +151,7 @@ def pallas_step_isplit(q, v, gm, *, eps: float, dt: float, n_splits: int,
     for i0 in range(0, n, seg):
         qi = lax.slice_in_dim(q, i0, min(i0 + seg, n))
         parts.append(pallas_accel_cross(qi, q, gm, eps=eps, tile_i=tile_i,
-                                        tile_j=tile_j))
+                                        tile_j=tile_j, interpret=interpret))
     a = jnp.concatenate(parts, axis=0)
     v = v + a * dt
     q = q + v * dt
@@ -158,10 +159,11 @@ def pallas_step_isplit(q, v, gm, *, eps: float, dt: float, n_splits: int,
 
 
 def pallas_step(q, v, gm, *, eps: float, dt: float, tile_i: int = 512,
-                tile_j: int = 2048):
+                tile_j: int = 2048, interpret: bool = False):
     """Fused force + symplectic-Euler update (the Pallas fast path's analog
     of hw5.cu's compute_accelerations_gpu + update_positions_gpu pair)."""
-    a = pallas_accel(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j)
+    a = pallas_accel(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j,
+                     interpret=interpret)
     v = v + a * dt
     q = q + v * dt
     return q, v

@@ -66,3 +66,23 @@ def test_zero_mass_padding_contributes_nothing():
                           jnp.asarray(gm[:n // 2]), 1e-3, 32, 32)
     assert np.isfinite(np.asarray(a)).all()
     np.testing.assert_array_equal(np.asarray(a)[:n // 2], np.asarray(a2))
+
+
+def test_isplit_step_matches_monolithic():
+    """pallas_step_isplit (the >60s-watchdog workaround for very large N)
+    computes the identical result to the monolithic step: row sums are
+    independent across i, so splitting the i-range changes nothing."""
+    from nbody_tpu.ops.pallas_forces import pallas_step, pallas_step_isplit
+
+    rng = np.random.RandomState(3)
+    n = 64
+    q = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    v = jnp.asarray(rng.randn(n, 3) * 0.1, jnp.float32)
+    gm = jnp.asarray(np.abs(rng.randn(n)) * 1e-4, jnp.float32)
+    q1, v1 = pallas_step(q, v, gm, eps=1e-3, dt=0.5, tile_i=16, tile_j=16,
+                         interpret=True)
+    for ns in (2, 4):
+        q2, v2 = pallas_step_isplit(q, v, gm, eps=1e-3, dt=0.5, n_splits=ns,
+                                    tile_i=16, tile_j=16, interpret=True)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
