@@ -160,10 +160,10 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         raise ValueError(f"unknown precision: {precision}")
 
     if mesh is not None:
-        if precision in ("ddp", "tf3", "e64"):
+        if precision == "e64":
             raise NotImplementedError(
-                "mesh routing is not yet implemented for the triple-f32 "
-                "and softfloat paths; use precision 'dd', 'f64' or 'f32' "
+                "mesh routing is not yet implemented for the e64 softfloat "
+                "path; use precision 'ddp', 'tf3', 'dd', 'f64' or 'f32' "
                 "on a mesh")
         from .parallel.solver_sharded import (run_problems_12_sharded,
                                               run_problem_3_sharded)

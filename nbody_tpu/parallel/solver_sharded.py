@@ -16,7 +16,12 @@ combines per-tile partial sums in ascending global tile order, so answers
 are BIT-IDENTICAL across mesh shapes (1x1, 2x4, 1x8, ...) for the same
 tile size — the multi-chip correctness claim tests assert. (The reference
 fails its own analog of this: its atomicAdd reduction order changes run to
-run and flips 2/12 testcases, SURVEY.md §4.)
+run and flips 2/12 testcases, SURVEY.md §4.) For the triple-f32 dtypes
+('tf3'/'tf3grid' — precisions tf3/ddp) the same structure gives
+mesh-shape-invariant answers at (beyond-)f64 level; the LOWEST tf3 limb
+may differ between mesh shapes on XLA:CPU, whose fmuladd contraction
+perturbs the approximate third-order chains within their ~2^-70 budget
+(tests/test_solver_sharded_tf3.py pins the exact contract).
 
 Cross-shard data flow: j-tiles ride the ring; the planet / asteroid /
 device-slot positions each scenario needs for its min-distance, hit,
@@ -107,6 +112,77 @@ def ring_accel_ordered(q_local, gm_local, *, axis_name: str, eps: float,
     return acc
 
 
+def ring_accel_ordered_tf3(q_local, m_eff_local, *, axis_name: str,
+                           eps: float, G: float, tile: int):
+    """Triple-f32 twin of ring_accel_ordered: j-tiles of the TF3 state ride
+    the ppermute ring; each tile's contribution comes from the gauged tf3
+    tile kernel (ops/forces._tf3_accel_tile) and tiles combine with tf3
+    adds in ascending GLOBAL tile order — mesh-shape-invariant bits for a
+    fixed `tile`, ~(n/tile) * 2^-70-class combination error (far beyond
+    f64). The mass gauge is made mesh-global with a pmax so every shard
+    lifts G*m identically. Call inside shard_map."""
+    import jax.numpy as jnp
+
+    from ..ops import tfloat as tf
+    from ..ops.forces import _tf3_accel_tile
+
+    k = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    ni = q_local.shape[-2]
+    if ni % tile != 0:
+        raise ValueError(f"local rows {ni} not a multiple of tile {tile}")
+    tps = ni // tile
+    n_tiles = k * tps
+    perm = [(i, (i + 1) % k) for i in range(k)]
+
+    # global mass gauge (matches the single-device kernel's, but pmax'd)
+    mx = lax.pmax(jnp.max(m_eff_local.hi), axis_name)
+    gm_mag = jnp.float32(abs(G)) * mx
+    gscale_e = jnp.where(gm_mag > 0,
+                         jnp.int32(16) - tf.exp_bits(gm_mag), jnp.int32(0))
+    gscale = tf.exp2_i32(gscale_e)
+    g0 = tf.const(G, like=m_eff_local.hi)
+    g_s = tf.TF3(g0.hi * gscale, g0.mid * gscale, g0.lo * gscale)  # exact
+    gm_local = g_s * m_eff_local
+
+    # derive from q_local so the buffers carry its varying-mesh-axes
+    # metadata (plain jnp.zeros would mismatch the fori carry type)
+    zrow = jnp.zeros_like(q_local.hi)
+    buf = tf.TF3(*(jnp.broadcast_to(zrow[None], (n_tiles,) + zrow.shape)
+                   for _ in range(3)))
+
+    def rot(r, carry):
+        bh, bm, bl, qjh, qjm, qjl, gh, gm_, gl = carry
+        r = jnp.asarray(r, jnp.int32)
+        origin = jax.lax.rem(jnp.int32(me) - r + jnp.int32(k),
+                             jnp.int32(k))
+        for s_ in range(tps):
+            sl = slice(s_ * tile, (s_ + 1) * tile)
+            qj = tf.TF3(qjh[sl], qjm[sl], qjl[sl])
+            gmj = tf.TF3(gh[sl], gm_[sl], gl[sl])
+            part = _tf3_accel_tile(q_local, qj, gmj, gscale_e, eps)
+            gidx = origin * jnp.int32(tps) + jnp.int32(s_)
+            idx = (gidx,) + (jnp.int32(0),) * part.hi.ndim
+            bh = lax.dynamic_update_slice(bh, part.hi[None], idx)
+            bm = lax.dynamic_update_slice(bm, part.mid[None], idx)
+            bl = lax.dynamic_update_slice(bl, part.lo[None], idx)
+        qjh = lax.ppermute(qjh, axis_name, perm)
+        qjm = lax.ppermute(qjm, axis_name, perm)
+        qjl = lax.ppermute(qjl, axis_name, perm)
+        gh = lax.ppermute(gh, axis_name, perm)
+        gm_ = lax.ppermute(gm_, axis_name, perm)
+        gl = lax.ppermute(gl, axis_name, perm)
+        return bh, bm, bl, qjh, qjm, qjl, gh, gm_, gl
+
+    init = (buf.hi, buf.mid, buf.lo, q_local.hi, q_local.mid, q_local.lo,
+            gm_local.hi, gm_local.mid, gm_local.lo)
+    bh, bm, bl, *_ = lax.fori_loop(0, k, rot, init, unroll=True)
+    acc = tf.zeros(q_local.shape)
+    for t in range(n_tiles):              # static ascending order
+        acc = tf.add(acc, tf.TF3(bh[t], bm[t], bl[t]))
+    return acc
+
+
 def _extract_rows(q_local, sel_local, axis_name):
     """Gather rows of the body-sharded q (ni, 3) selected by the one-hot
     matrix sel_local (R, ni): exact (one nonzero term per output) psum over
@@ -193,6 +269,105 @@ def _p12_chunk_sharded(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half,
               planet_oh, asteroid_oh, dev_oh, fst_chunk, t0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "dt", "eps", "G", "planet_radius",
+                     "missile_speed", "tile", "grid"))
+def _p12_chunk_sharded_tf3(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s,
+                           m_half, planet_oh, asteroid_oh, dev_oh,
+                           fst_chunk, t0, *, mesh: Mesh, n_steps, dt, eps,
+                           G, planet_radius, missile_speed, tile, grid):
+    """Triple-f32 twin of _p12_chunk_sharded: the extended-precision
+    (tf3 truth-grade / tf3grid 'ddp') graded P1/P2 chunk on the mesh.
+    Decision semantics mirror models/direct_sum._p12_chunk's tf branch
+    (strict <, step-0 inclusion, guarded first-hit; f64-grid rounding of
+    state and decision quantities when grid=True)."""
+    from ..models.direct_sum import _sq_dist
+    from ..ops import tfloat
+    from ..ops.tfloat import TF3
+
+    state_spec = P("scen", "body", None)
+    mass_spec = P("scen", "body")
+    snap_spec = P("scen", None, "body", None)
+
+    def extract_tf(q1, sel):
+        return TF3(lax.psum(sel @ q1.hi, "body"),
+                   lax.psum(sel @ q1.mid, "body"),
+                   lax.psum(sel @ q1.lo, "body"))
+
+    def local_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half,
+                    p_oh, a_oh, d_oh, fst_chunk, t0):
+        pr = tfloat.const(planet_radius)
+        r2 = pr * pr
+        sdt = tfloat.const(missile_speed * dt)
+        offs = jnp.arange(1, fst_chunk.hi.shape[0] + 1, dtype=jnp.int32)
+        xs = (t0.astype(jnp.int32) + offs, fst_chunk.hi, fst_chunk.mid,
+              fst_chunk.lo)
+
+        def scen_step(q1, v1, min1, hit1, arr1, qs1, vs1, m0_1, mh_1, t,
+                      fst_t):
+            in_range = t <= jnp.int32(n_steps)
+            m_eff = m0_1 + mh_1 * fst_t
+            a = ring_accel_ordered_tf3(q1, m_eff, axis_name="body",
+                                       eps=eps, G=G, tile=tile)
+            if grid:
+                v2 = tfloat.round53(v1 + tfloat.round53(a * dt))
+                q2 = tfloat.round53(q1 + tfloat.round53(v2 * dt))
+            else:
+                v2 = v1 + a * dt
+                q2 = q1 + v2 * dt
+            q1 = tfloat.where(in_range, q2, q1)
+            v1 = tfloat.where(in_range, v2, v1)
+            sel = jnp.concatenate([p_oh[None], a_oh[None], d_oh], axis=0)
+            rows = extract_tf(q1, sel)
+            qp, qa, qd = rows[0], rows[1], rows[2:]
+            d2_pa = _sq_dist(qp, qa, grid=grid)
+            min1 = tfloat.where(in_range,
+                                tfloat.minimum(min1, d2_pa), min1)
+            d2_pd = _sq_dist(TF3(qp.hi[None], qp.mid[None], qp.lo[None]),
+                             qd, grid=grid)
+            tt = t.astype(jnp.float32)               # t < 2^24: exact
+            md = sdt * TF3(tt, jnp.zeros_like(tt), jnp.zeros_like(tt))
+            md2 = md * md
+            if grid:
+                md2 = tfloat.round53(md2)
+            arrived = (arr1 == -2) & (d2_pd < md2) & in_range
+            arr1 = jnp.where(arrived, t, arr1)
+            selm = arrived[:, None, None]
+            qs1 = tfloat.where(selm, TF3(q1.hi[None], q1.mid[None],
+                                         q1.lo[None]), qs1)
+            vs1 = tfloat.where(selm, TF3(v1.hi[None], v1.mid[None],
+                                         v1.lo[None]), vs1)
+            hit1 = jnp.where((hit1 == -2) & (d2_pa < r2) & in_range, t,
+                             hit1)
+            return q1, v1, min1, hit1, arr1, qs1, vs1
+
+        def body(carry, x):
+            q, v, min_d2, hit, arr, q_snap, v_snap = carry
+            t, fh, fm, fl = x
+            fst_t = TF3(fh, fm, fl)
+            out = jax.vmap(
+                scen_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+            )(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, t,
+              fst_t)
+            return out, None
+
+        carry = (q, v, min_d2, hit, arr, q_snap, v_snap)
+        carry, _ = lax.scan(body, carry, xs)
+        return carry
+
+    fn = jax.shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=(state_spec, state_spec, P("scen"), P("scen"),
+                  P("scen", None), snap_spec, snap_spec, mass_spec,
+                  mass_spec, P("body"), P("body"), P(None, "body"), P(),
+                  P()),
+        out_specs=(state_spec, state_spec, P("scen"), P("scen"),
+                   P("scen", None), snap_spec, snap_spec))
+    return fn(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half,
+              planet_oh, asteroid_oh, dev_oh, fst_chunk, t0)
+
+
 def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                             dtype=np.float64, fast: bool = False,
                             tile: int | None = None,
@@ -200,7 +375,14 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
     """Mesh-sharded Problems 1+2 (+ P3 preprocessing). Same contract as
     models/direct_sum.run_problems_12; scene.n must be a multiple of the
     body axis (pad via utils/padding first). Returns a P12Result."""
-    from ..models.direct_sum import P12Result
+    from ..models.direct_sum import P12Result, _host_tf
+    from ..ops import tfloat
+    from ..ops.tfloat import TF3
+
+    is_tf = isinstance(dtype, str) and dtype in ("tf3", "tf3grid")
+    host_dtype = np.float64 if is_tf else dtype
+    conv = (lambda a: tfloat.from_f64(np.asarray(a, np.float64))) if is_tf \
+        else (lambda a: np.asarray(a, dtype))
 
     n = scene.n
     scen_size = mesh.shape["scen"]
@@ -213,24 +395,25 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
     tile = tile or (n // body_size)
     D = scene.device_cnt
 
-    q0 = np.asarray(scene.q, dtype)
-    v0 = np.asarray(scene.v, dtype)
-    m0 = np.asarray(scene.m, dtype)
-    mask = np.asarray(scene.device_mask(), dtype)
+    q0 = np.asarray(scene.q, host_dtype)
+    v0 = np.asarray(scene.v, host_dtype)
+    m0 = np.asarray(scene.m, host_dtype)
+    mask = np.asarray(scene.device_mask(), host_dtype)
     m0_s = np.stack([m0 * (1.0 - mask), m0])
     m_half = 0.5 * np.stack([m0 * (1.0 - mask), m0]) * mask[None, :]
 
-    planet_oh = np.zeros(n, dtype)
+    oh_dtype = np.float32 if is_tf else dtype   # matmuls against f32 limbs
+    planet_oh = np.zeros(n, oh_dtype)
     planet_oh[scene.planet] = 1.0
-    asteroid_oh = np.zeros(n, dtype)
+    asteroid_oh = np.zeros(n, oh_dtype)
     asteroid_oh[scene.asteroid] = 1.0
-    dev_oh = np.zeros((max(D, 1), n), dtype)
+    dev_oh = np.zeros((max(D, 1), n), oh_dtype)
     for k in range(D):
         dev_oh[k, scene.device_idx[k]] = 1.0
 
     d0 = q0[scene.planet] - q0[scene.asteroid]
     d2_0 = d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
-    r2 = np.asarray(cfg.planet_radius, dtype) ** 2
+    r2 = np.asarray(cfg.planet_radius, host_dtype) ** 2
     Dp = max(D, 1)
 
     def put(x, spec):
@@ -238,20 +421,20 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
 
     state_spec = P("scen", "body", None)
     carry = (
-        put(np.stack([q0, q0]), state_spec),
-        put(np.stack([v0, v0]), state_spec),
-        put(np.full((2,), d2_0, dtype), P("scen")),
+        put(conv(np.stack([q0, q0])), state_spec),
+        put(conv(np.stack([v0, v0])), state_spec),
+        put(conv(np.full((2,), d2_0)), P("scen")),
         put(np.full((2,), 0 if d2_0 < r2 else -2, np.int32), P("scen")),
         put(np.full((2, Dp), -2, np.int32), P("scen", None)),
-        put(np.zeros((2, Dp, n, 3), dtype), P("scen", None, "body", None)),
-        put(np.zeros((2, Dp, n, 3), dtype), P("scen", None, "body", None)),
+        put(conv(np.zeros((2, Dp, n, 3))), P("scen", None, "body", None)),
+        put(conv(np.zeros((2, Dp, n, 3))), P("scen", None, "body", None)),
     )
-    m0_j = put(m0_s, P("scen", "body"))
-    mh_j = put(m_half, P("scen", "body"))
+    m0_j = put(conv(m0_s), P("scen", "body"))
+    mh_j = put(conv(m_half), P("scen", "body"))
     poh = put(planet_oh, P("body"))
     aoh = put(asteroid_oh, P("body"))
     doh = put(dev_oh, P(None, "body"))
-    fstd = np.asarray(fst, dtype)
+    fstd = np.asarray(fst, host_dtype)
 
     if host_chunk is None:
         on_accel = mesh.devices.flat[0].platform != "cpu"
@@ -259,21 +442,46 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
     t0 = 0
     while t0 < cfg.n_steps:
         cs = min(host_chunk, cfg.n_steps - t0)
-        fst_chunk = np.zeros(host_chunk, dtype)
+        fst_chunk = np.zeros(host_chunk, host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
-        carry = _p12_chunk_sharded(
-            *carry, m0_j, mh_j, poh, aoh, doh,
-            jax.device_put(fst_chunk, NamedSharding(mesh, P())),
-            jax.device_put(np.int32(t0), NamedSharding(mesh, P())),
-            mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-            planet_radius=cfg.planet_radius,
-            missile_speed=cfg.missile_speed,
-            dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast, tile=tile)
+        rep = NamedSharding(mesh, P())
+        if is_tf:
+            carry = _p12_chunk_sharded_tf3(
+                *carry, m0_j, mh_j, poh, aoh, doh,
+                jax.device_put(conv(fst_chunk), rep),
+                jax.device_put(np.int32(t0), rep),
+                mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps,
+                G=cfg.G, planet_radius=cfg.planet_radius,
+                missile_speed=cfg.missile_speed, tile=tile,
+                grid=(dtype == "tf3grid"))
+        else:
+            carry = _p12_chunk_sharded(
+                *carry, m0_j, mh_j, poh, aoh, doh,
+                jax.device_put(fst_chunk, rep),
+                jax.device_put(np.int32(t0), rep),
+                mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps,
+                G=cfg.G, planet_radius=cfg.planet_radius,
+                missile_speed=cfg.missile_speed,
+                dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast, tile=tile)
         t0 += cs
 
-    _, _, min_d2, hit, arr, q_snap, v_snap = jax.tree.map(np.asarray, carry)
+    _, _, min_d2, hit, arr, q_snap, v_snap = carry
+    hit = np.asarray(hit)
+    arr = np.asarray(arr)
     # Problem 1 answer from the devices-off row; Problem 2/3 state from the
     # devices-on row (hw5.cu: tid 0 vs tid 1 in t_problem_12).
+    if is_tf:
+        return P12Result(
+            min_dist=float(np.sqrt(tfloat.to_f64(min_d2)[0])),
+            hit_time_step=int(hit[1]),
+            arrivals=arr[1][:D],
+            q_snaps=tfloat.to_f64(q_snap)[1][:D],
+            v_snaps=tfloat.to_f64(v_snap)[1][:D],
+            q_snaps_tf=_host_tf(q_snap)[1, :D],
+            v_snaps_tf=_host_tf(v_snap)[1, :D],
+        )
+    min_d2, q_snap, v_snap = (np.asarray(x) for x in
+                              (min_d2, q_snap, v_snap))
     return P12Result(
         min_dist=float(np.sqrt(min_d2[0])),
         hit_time_step=int(hit[1]),
@@ -354,12 +562,96 @@ def _p3_chunks_sharded(q, v, hit_flag, undecided_any, c_start, c_limit,
               eligible, m0_scen, m_half_scen, planet_oh, asteroid_oh, fst)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "dt", "eps", "G", "planet_radius",
+                     "tile", "chunk_steps", "grid"))
+def _p3_chunks_sharded_tf3(q, v, hit_flag, undecided_any, c_start, c_limit,
+                           arrivals, eligible, m0_scen, m_half_scen,
+                           planet_oh, asteroid_oh, fst, *, mesh: Mesh,
+                           n_steps, dt, eps, G, planet_radius, tile,
+                           chunk_steps, grid):
+    """Triple-f32 twin of _p3_chunks_sharded (tf3 / tf3grid dtypes)."""
+    from ..models.direct_sum import _sq_dist
+    from ..ops import tfloat
+    from ..ops.tfloat import TF3
+
+    state_spec = P("scen", "body", None)
+
+    def local_chunks(q, v, hit_flag, undecided_any, c_start, c_limit,
+                     arrivals, eligible, m0_scen, m_half_scen, p_oh, a_oh,
+                     fh, fm, fl):
+        pr = tfloat.const(planet_radius)
+        r2 = pr * pr
+        cs = int(chunk_steps)
+
+        def scen_step(q1, v1, hit1, arr1, m0_1, mh_1, t):
+            active = (t > arr1) & (t <= jnp.int32(n_steps))
+            ti = jnp.minimum(t, jnp.int32(n_steps))
+            fst_t = TF3(fh[ti], fm[ti], fl[ti])
+            m_eff = m0_1 + mh_1 * fst_t
+            a = ring_accel_ordered_tf3(q1, m_eff, axis_name="body",
+                                       eps=eps, G=G, tile=tile)
+            if grid:
+                v2 = tfloat.round53(v1 + tfloat.round53(a * dt))
+                q2 = tfloat.round53(q1 + tfloat.round53(v2 * dt))
+            else:
+                v2 = v1 + a * dt
+                q2 = q1 + v2 * dt
+            q1 = tfloat.where(active, q2, q1)
+            v1 = tfloat.where(active, v2, v1)
+            sel = jnp.stack([p_oh, a_oh])
+            rows = TF3(lax.psum(sel @ q1.hi, "body"),
+                       lax.psum(sel @ q1.mid, "body"),
+                       lax.psum(sel @ q1.lo, "body"))
+            d2_pa = _sq_dist(rows[0], rows[1], grid=grid)
+            hit1 = hit1 | (active & (d2_pa < r2))
+            return q1, v1, hit1
+
+        def step_body(t, carry):
+            q, v, hit_flag = carry
+            t = t.astype(jnp.int32)
+            return jax.vmap(scen_step, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                q, v, hit_flag, arrivals, m0_scen, m_half_scen, t)
+
+        def chunk_body(carry):
+            c, q, v, hit_flag, _ = carry
+            t0 = c * cs + 1
+            q, v, hit_flag = lax.fori_loop(t0, t0 + cs, step_body,
+                                           (q, v, hit_flag))
+            undec = eligible & ~hit_flag
+            any_undec = lax.psum(jnp.sum(undec.astype(jnp.int32)),
+                                 "scen") > 0
+            return c + 1, q, v, hit_flag, any_undec
+
+        def chunk_cond(carry):
+            c, _, _, _, any_undec = carry
+            return (c < c_limit) & any_undec
+
+        init = (c_start.astype(jnp.int32), q, v, hit_flag, undecided_any)
+        c, q, v, hit_flag, _ = lax.while_loop(chunk_cond, chunk_body, init)
+        return c, q, v, hit_flag
+
+    fn = jax.shard_map(
+        local_chunks, mesh=mesh,
+        in_specs=(state_spec, state_spec, P("scen"), P(), P(), P(),
+                  P("scen"), P("scen"), P("scen", "body"),
+                  P("scen", "body"), P("body"), P("body"), P(), P(), P()),
+        out_specs=(P(), state_spec, state_spec, P("scen")))
+    return fn(q, v, hit_flag, undecided_any, c_start, c_limit, arrivals,
+              eligible, m0_scen, m_half_scen, planet_oh, asteroid_oh,
+              fst.hi, fst.mid, fst.lo)
+
+
 def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
                           dtype=np.float64, fast: bool = False,
                           tile: int | None = None) -> np.ndarray:
     """Mesh-sharded Problem 3: same contract as
     models/direct_sum.run_problem_3 (batched strategy), scenarios padded to
     a multiple of the 'scen' axis with frozen ineligible rows."""
+    from ..ops import tfloat
+    from ..ops.tfloat import TF3
+
     D = scene.device_cnt
     if D == 0:
         return np.zeros((0,), dtype=bool)
@@ -367,16 +659,21 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
     if not eligible.any():
         return np.zeros((D,), dtype=bool)
 
+    is_tf = isinstance(dtype, str) and dtype in ("tf3", "tf3grid")
+    host_dtype = np.float64 if is_tf else dtype
+    conv = (lambda a: tfloat.from_f64(np.asarray(a, np.float64))) if is_tf \
+        else (lambda a: np.asarray(a, dtype))
+
     n = scene.n
     scen_size = mesh.shape["scen"]
     body_size = mesh.shape["body"]
     tile = tile or (n // body_size)
     Dp = -(-D // scen_size) * scen_size          # pad to scen multiple
 
-    m0_scen = np.tile(np.asarray(scene.m, dtype)[None, :], (Dp, 1))
+    m0_scen = np.tile(np.asarray(scene.m, host_dtype)[None, :], (Dp, 1))
     for k in range(D):
         m0_scen[k, scene.device_idx[k]] = 0.0
-    device_mask = np.asarray(scene.device_mask(), dtype)
+    device_mask = np.asarray(scene.device_mask(), host_dtype)
     m_half_scen = 0.5 * m0_scen * device_mask[None, :]
 
     elig_p = np.zeros(Dp, bool)
@@ -387,38 +684,56 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
     arr_masked[:D] = np.where(eligible, p12.arrivals, cfg.n_steps)
     c_start = int(max(int(arr_masked.min()), 0) // cs)
 
-    qs = np.zeros((Dp, n, 3), dtype)
-    vs = np.zeros((Dp, n, 3), dtype)
-    qs[:D] = p12.q_snaps
-    vs[:D] = p12.v_snaps
+    if is_tf:
+        # resume from the FULL-precision snapshots (direct_sum contract)
+        z = np.zeros((Dp, n, 3), np.float32)
+        qs = TF3(z.copy(), z.copy(), z.copy())
+        vs = TF3(z.copy(), z.copy(), z.copy())
+        for comp in ("hi", "mid", "lo"):
+            getattr(qs, comp)[:D] = getattr(p12.q_snaps_tf, comp)
+            getattr(vs, comp)[:D] = getattr(p12.v_snaps_tf, comp)
+    else:
+        qs = np.zeros((Dp, n, 3), dtype)
+        vs = np.zeros((Dp, n, 3), dtype)
+        qs[:D] = p12.q_snaps
+        vs[:D] = p12.v_snaps
     dsnap = (p12.q_snaps[:, scene.planet] - p12.q_snaps[:, scene.asteroid])
     hit0 = np.zeros(Dp, bool)
     hit0[:D] = ((dsnap * dsnap).sum(-1)
                 < np.asarray(cfg.planet_radius, np.float64) ** 2)
 
-    planet_oh = np.zeros(n, dtype)
+    oh_dtype = np.float32 if is_tf else dtype
+    planet_oh = np.zeros(n, oh_dtype)
     planet_oh[scene.planet] = 1.0
-    asteroid_oh = np.zeros(n, dtype)
+    asteroid_oh = np.zeros(n, oh_dtype)
     asteroid_oh[scene.asteroid] = 1.0
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     rep = NamedSharding(mesh, P())
-    c, q, v, hit_flag = _p3_chunks_sharded(
+    common = dict(mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps,
+                  G=cfg.G, planet_radius=cfg.planet_radius, tile=tile,
+                  chunk_steps=cs)
+    args = (
         put(qs, P("scen", "body", None)), put(vs, P("scen", "body", None)),
         put(hit0, P("scen")),
         jax.device_put(np.bool_((elig_p & ~hit0).any()), rep),
         jax.device_put(np.int32(c_start), rep),
         jax.device_put(np.int32(n_chunks), rep),
         put(arr_masked, P("scen")), put(elig_p, P("scen")),
-        put(m0_scen, P("scen", "body")), put(m_half_scen, P("scen", "body")),
+        put(conv(m0_scen), P("scen", "body")),
+        put(conv(m_half_scen), P("scen", "body")),
         put(planet_oh, P("body")), put(asteroid_oh, P("body")),
-        jax.device_put(np.asarray(fst, dtype), rep),
-        mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-        planet_radius=cfg.planet_radius,
-        dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast, tile=tile,
-        chunk_steps=cs)
+        jax.device_put(conv(np.asarray(fst, host_dtype)), rep),
+    )
+    if is_tf:
+        c, q, v, hit_flag = _p3_chunks_sharded_tf3(
+            *args, grid=(dtype == "tf3grid"), **common)
+    else:
+        c, q, v, hit_flag = _p3_chunks_sharded(
+            *args, dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,
+            **common)
     hits = np.asarray(hit_flag)[:D]
     return eligible & ~hits
 
