@@ -116,3 +116,68 @@ def test_checkpoint_refuses_mismatched_run(tmp_path):
         run_problems_12(scene, oscillation_table(cfg, 60),
                         dataclasses.replace(cfg, n_steps=60),
                         host_chunk=60, checkpoint_path=ck)
+
+
+def _resume_roundtrip(dtype, tmp_path, n_steps=80):
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    from nbody_tpu.utils.rescale import compute_rescale
+    cfg = dataclasses.replace(SimConfig(), n_steps=n_steps)
+    if dtype != "e64":
+        rs = compute_rescale(scene, eps=cfg.eps, anchor_accel=True, G=cfg.G)
+        scene = rs.apply_scene(scene)
+        cfg = rs.apply_cfg(cfg)
+    fst = oscillation_table(cfg)
+    ref = run_problems_12(scene, fst, cfg, dtype=dtype)
+    ck = str(tmp_path / "ext.npz")
+    cfg_partial = dataclasses.replace(cfg, n_steps=n_steps // 2)
+    run_problems_12(scene, oscillation_table(cfg_partial), cfg_partial,
+                    host_chunk=n_steps // 4, checkpoint_path=ck,
+                    dtype=dtype)
+    res = run_problems_12(scene, fst, cfg, host_chunk=n_steps // 4,
+                          checkpoint_path=ck, dtype=dtype)
+    assert res.min_dist == ref.min_dist
+    assert res.hit_time_step == ref.hit_time_step
+    np.testing.assert_array_equal(res.arrivals, ref.arrivals)
+    np.testing.assert_array_equal(res.q_snaps, ref.q_snaps)
+
+
+def test_ckpt_resume_tf3grid_bitexact(tmp_path):
+    """The TF3 checkpoint pack/unpack round-trip (precision 'ddp') resumes
+    bit-identically — gated: minutes of XLA:CPU compile for the tf3 scan."""
+    import pytest
+    if not os.environ.get("RUN_SLOW"):
+        pytest.skip("XLA:CPU tf3 scan compile; RUN_SLOW=1")
+    _resume_roundtrip("tf3grid", tmp_path)
+
+
+def test_ckpt_resume_e64_bitexact(tmp_path):
+    """The E64 (packed uint32) checkpoint round-trip resumes
+    bit-identically — gated: minutes of XLA:CPU softfloat compile."""
+    import pytest
+    if not os.environ.get("RUN_SLOW"):
+        pytest.skip("XLA:CPU softfloat compile; RUN_SLOW=1")
+    _resume_roundtrip("e64", tmp_path, n_steps=16)
+
+
+def test_ckpt_pack_roundtrip_extended_dtypes():
+    """_ckpt_pack/_ckpt_unpack_fn round-trip TF3 and E64 states exactly
+    (fast path-level check; the solver-level resumes are RUN_SLOW-gated)."""
+    import jax.numpy as jnp
+
+    from nbody_tpu.models.direct_sum import _ckpt_pack, _ckpt_unpack_fn
+    from nbody_tpu.ops import f64emu, tfloat
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((4, 3))
+    t = tfloat.from_f64(x)
+    packed = _ckpt_pack(tfloat.TF3(*map(jnp.asarray, (t.hi, t.mid, t.lo))))
+    back = _ckpt_unpack_fn("tf3grid")(packed)
+    for a, b in ((back.hi, t.hi), (back.mid, t.mid), (back.lo, t.lo)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    e = f64emu.e64_from_f64_tree(x)
+    packed = _ckpt_pack(f64emu.E64(jnp.asarray(e.hi), jnp.asarray(e.lo)))
+    back = _ckpt_unpack_fn("e64")(packed)
+    np.testing.assert_array_equal(np.asarray(back.hi), e.hi)
+    np.testing.assert_array_equal(np.asarray(back.lo), e.lo)
+    np.testing.assert_array_equal(
+        f64emu.to_f64(np.asarray(back.hi), np.asarray(back.lo)), x)
