@@ -66,15 +66,21 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
               f32-range double-double arithmetic — see backend.py). With
               the default dsqrt dist3 resolution this is ALSO byte-golden
               on all 12 testcases (results/ACCURACY.md). The default.
-      'ddp' (alias 'dd+') — ANSWER-GRADE accelerator path: triple-float32
-              arithmetic (~2^-68/op, beyond IEEE f64's 2^-53 — see
-              ops/tfloat.py) + the same exact power-of-2 rescaling as dd.
-              Runs the graded problems entirely on the TPU.
+      'e64' — ANSWER-GRADE ON TPU: bit-exact binary64 softfloat built
+              from integer lane ops (ops/f64emu.py) running the serial
+              spec's op order — byte-golden 12/12 BY CONSTRUCTION
+              (results/golden_e64_tpu_r2.json). No rescale needed.
+      'ddp' (alias 'dd+') — near-answer-grade accelerator path:
+              triple-float32 forces (~2^-70/op, ops/tfloat.py) with
+              f64-grid state rounding + exact power-of-2 rescaling.
+              Measured 10/12 byte-golden, 11/12 discrete answers, at a
+              fraction of e64's per-step cost.
+      'tf3' — TRUTH-grade raw triple-f32 trajectories (closer to the
+              continuum than f64 itself); not the graded f64 fixpoint.
       'dd'  — f64 arrays on the accelerator (XLA double-double emulation,
               ~2^-48/op) with exact rescaling. Deterministic,
-              trajectory-grade (~1e-15/step); superseded by 'ddp' for
-              answers, kept for speed comparisons and as the XLA-native
-              emulation baseline.
+              trajectory-grade (~1e-15/step); kept for speed comparisons
+              and as the XLA-native emulation baseline.
       'f32' — float32 fast path with rescaling; throughput mode.
 
     mesh: a jax.sharding.Mesh with ('scen', 'body') axes routes the whole
@@ -82,8 +88,9 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     scenario batch spreads over 'scen' and bodies over a 'body' ppermute
     ring — the multi-chip analog of the reference's 2-GPU scenario
     distribution (hw5.cu:564-588). Supported with precisions f64 (CPU
-    meshes), dd and f32 (accelerator meshes, rescaled); answers are
-    bit-identical across mesh shapes for a fixed force tile size.
+    meshes), dd, f32, ddp and tf3 (accelerator meshes, rescaled); f64/dd/
+    f32 answers are bit-identical across mesh shapes for a fixed force
+    tile size, ddp/tf3 at (beyond-)f64 level (solver_sharded docstring).
     """
     from . import backend
     from .utils.rescale import compute_rescale, IDENTITY
