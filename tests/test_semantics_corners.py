@@ -205,3 +205,48 @@ def test_fuzz_random_scenes_vs_native():
         cfg = dataclasses.replace(SimConfig(), n_steps=500,
                                   dist3_mode="dsqrt")
         _agree(scene, cfg, min_dist_rtol=1e-9)
+
+
+def _deflection_scene():
+    """A black-hole device pulls the asteroid into the planet; destroying
+    it saves the planet (the P3-positive path: winner != -1)."""
+    n = 6
+    q = np.zeros((n, 3))
+    v = np.zeros((n, 3))
+    m = np.zeros(n)
+    q[1] = (3.0e8, 2.0e7, 0.0)           # would miss at 2e7 > radius
+    v[1] = (-1.0e5, 0.0, 0.0)
+    m[1] = 1.0
+    q[2] = (1.5e8, -1.0e7, 0.0)          # black hole bends it into the hit
+    m[2] = 2.0e26
+    q[3] = (0.0, 5.0e12, 0.0)            # irrelevant far device
+    m[3] = 1.0
+    return _scene(q, v, m, device_idx=[2, 3])
+
+
+def test_p3_winner_saves_planet():
+    """Engine == native on a scene where P3 has a SAVING device: the hit
+    exists with devices on, and destroying the black-hole device prevents
+    it (cost = 1e5 + 1e3*(arr+1)*dt, core.cc:205)."""
+    scene = _deflection_scene()
+    cfg = dataclasses.replace(SimConfig(), n_steps=5000,
+                              dist3_mode="dsqrt", missile_speed=1e6)
+    eng, _ = _agree(scene, cfg)
+    assert eng.hit_time_step == 48
+    assert eng.gravity_device_id == 2
+    assert eng.missile_cost == 340000.0
+
+
+def test_p3_winner_unreachable_when_missile_too_slow():
+    """Same scene, but the missile cannot reach the black hole before the
+    hit: arrival > hit_step makes it ineligible (core.cc:197) -> no
+    savior."""
+    scene = _deflection_scene()
+    cfg = dataclasses.replace(SimConfig(), n_steps=5000,
+                              dist3_mode="dsqrt", missile_speed=1e3)
+    # engine-only: the native core hard-codes the reference's
+    # missile_speed (native.py docstring), so no cross-check here
+    eng = solve_scene(scene, cfg, precision="f64", platform="cpu")
+    assert eng.hit_time_step == 48
+    assert eng.gravity_device_id == -1
+    assert eng.missile_cost == 0.0
