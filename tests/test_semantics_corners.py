@@ -250,3 +250,27 @@ def test_p3_winner_unreachable_when_missile_too_slow():
     assert eng.hit_time_step == 48
     assert eng.gravity_device_id == -1
     assert eng.missile_cost == 0.0
+
+
+def test_select_winner_tie_breaks_by_body_index():
+    """Equal costs (same arrival step) break ties by ORIGINAL body index
+    (the reference processes scenarios in (arrival, slot) order and keeps
+    the first strictly-cheaper winner, hw5.cu:574-585)."""
+    from nbody_tpu.engine import select_winner
+
+    q, v, m = _base()
+    scene = _scene(q, v, m, device_idx=[5, 3])   # file order: body 5, 3
+    cfg = SimConfig()
+    arrivals = np.asarray([100, 100], np.int32)
+    saved = np.asarray([True, True])
+    dev, cost = select_winner(scene, arrivals, saved, cfg)
+    assert dev == 3                                # lower body index wins
+    assert cost == 100000.0 + 1000.0 * 101 * cfg.dt
+    # earlier arrival (cheaper) beats body order
+    dev, _ = select_winner(scene, np.asarray([99, 100], np.int32),
+                           saved, cfg)
+    assert dev == 5
+    # nobody saves -> (-1, 0.0)
+    dev, cost = select_winner(scene, arrivals,
+                              np.asarray([False, False]), cfg)
+    assert (dev, cost) == (-1, 0.0)
