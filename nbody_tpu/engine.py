@@ -126,6 +126,12 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         # operation correctly rounded to IEEE binary64 — same answers as
         # the native oracle BY CONSTRUCTION, no rescale needed (the
         # softfloat carries the full 11-bit exponent range).
+        if cfg.dist3_mode not in (None, "dsqrt"):
+            raise ValueError(
+                f"precision 'e64' implements only the dsqrt dist3 form "
+                f"(d2 * sqrt(d2)); got dist3_mode={cfg.dist3_mode!r}. The "
+                "native core validates dsqrt byte-golden against the pow "
+                "goldens (results/ACCURACY.md), so nothing is lost.")
         dtype = "e64"
     elif precision in ("dd", "ddp", "tf3", "f32"):
         # the tf3 modes additionally anchor the acceleration/velocity
