@@ -40,11 +40,18 @@ struct Scene {
 struct Params {
     int n_steps;
     int mode;
+    // defaults = the reference's `namespace param` (hw5.cu:50-67); all
+    // runtime-overridable through nbody_solve_cfg's phys[] (IEEE ops are
+    // value-deterministic, so passing the defaults is byte-identical to
+    // the hard-coded build)
     double dt = 60.0;
     double eps = 1e-3;
     double G = 6.674e-11;
     double planet_radius = 1e7;
     double missile_speed = 1e6;
+    double cost_base = 1e5;        // hw5.cu:67
+    double cost_per_t = 1e3;
+    double mass_period = 6000.0;   // hw5.cu:58
 };
 
 inline double dist3_of(double d2, int mode) {
@@ -84,7 +91,7 @@ void advance(const Params& p, const Scene& s, bool devices_on, int dead,
              int step, State& st) {
     const int n = s.n;
     const double t = step * p.dt;
-    const double fst = std::fabs(std::sin(t / 6000.0));
+    const double fst = std::fabs(std::sin(t / p.mass_period));
     std::vector<double> m(n);
     for (int j = 0; j < n; ++j) {
         double mj = s.m[j];
@@ -127,12 +134,13 @@ struct Snapshot {
 
 }  // namespace
 
-extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
-                           const double* v, const double* m,
-                           const int32_t* device_idx, int device_cnt,
-                           int n_steps, int dist3_mode, double* out_min_dist,
-                           int32_t* out_hit_step, int32_t* out_device_id,
-                           double* out_cost) {
+extern "C" int nbody_solve_cfg(int n, int planet, int asteroid,
+                               const double* q, const double* v,
+                               const double* m, const int32_t* device_idx,
+                               int device_cnt, int n_steps, int dist3_mode,
+                               const double* phys, double* out_min_dist,
+                               int32_t* out_hit_step, int32_t* out_device_id,
+                               double* out_cost) {
     if (n <= 0 || planet < 0 || planet >= n || asteroid < 0 ||
         asteroid >= n || n_steps < 0 || dist3_mode < 0 || dist3_mode > 2)
         return 1;
@@ -146,6 +154,17 @@ extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
     Params p;
     p.n_steps = n_steps;
     p.mode = dist3_mode;
+    if (phys != nullptr) {
+        p.dt = phys[0];
+        p.eps = phys[1];
+        p.G = phys[2];
+        p.planet_radius = phys[3];
+        p.missile_speed = phys[4];
+        p.cost_base = phys[5];
+        p.cost_per_t = phys[6];
+        p.mass_period = phys[7];
+        if (!(p.dt > 0.0) || !(p.mass_period > 0.0)) return 1;
+    }
     const double r2 = p.planet_radius * p.planet_radius;
 
     // Problem 1: devices off, min planet-asteroid distance over all steps.
@@ -202,7 +221,8 @@ extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
                 if (st.sq_dist(planet, asteroid) < r2) hit = true;
             }
             if (!hit) {
-                const double cost = 1e5 + 1e3 * ((arr + 1) * p.dt);
+                const double cost =
+                    p.cost_base + p.cost_per_t * ((arr + 1) * p.dt);
                 if (cost < best) {
                     best = cost;
                     winner = device_idx[k];
@@ -214,4 +234,16 @@ extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
     *out_device_id = winner;
     *out_cost = winner_cost;
     return 0;
+}
+
+extern "C" int nbody_solve(int n, int planet, int asteroid, const double* q,
+                           const double* v, const double* m,
+                           const int32_t* device_idx, int device_cnt,
+                           int n_steps, int dist3_mode, double* out_min_dist,
+                           int32_t* out_hit_step, int32_t* out_device_id,
+                           double* out_cost) {
+    return nbody_solve_cfg(n, planet, asteroid, q, v, m, device_idx,
+                           device_cnt, n_steps, dist3_mode, nullptr,
+                           out_min_dist, out_hit_step, out_device_id,
+                           out_cost);
 }

@@ -57,7 +57,7 @@ def select_winner(scene: Scene, arrivals: np.ndarray, saved: np.ndarray,
 def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
                 precision: str = "f64", platform: str | None = None,
                 timers=None, checkpoint_path: str | None = None,
-                mesh=None) -> Answers:
+                mesh=None, tile: int | None = None) -> Answers:
     """Answer all three problems for a scene (hw5.cu:532-615 end to end).
 
     precision:
@@ -91,6 +91,14 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     meshes), dd, f32, ddp and tf3 (accelerator meshes, rescaled); f64/dd/
     f32 answers are bit-identical across mesh shapes for a fixed force
     tile size, ddp/tf3 at (beyond-)f64 level (solver_sharded docstring).
+
+    tile: force-accumulation j-tile size for the mesh path. The
+    determinism contract is "bit-identical across mesh shapes FOR THE SAME
+    tile" (solver_sharded.py): pass the same explicit tile to get bitwise
+    cross-mesh-shape equality by construction. Default (None) uses each
+    shard's full row block (n // body) — fastest, but a DIFFERENT
+    summation order per mesh shape, so cross-shape agreement is then only
+    ulp-level, not bitwise. Ignored without a mesh.
     """
     from . import backend
     from .utils.rescale import compute_rescale, IDENTITY
@@ -184,6 +192,9 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         body = mesh.shape["body"]
         n_target = bucket_size(run_scene.n)
         n_target = ((n_target + body - 1) // body) * body
+        if tile is not None:
+            lcm = body * tile
+            n_target = ((n_target + lcm - 1) // lcm) * lcm
         run_scene = pad_scene(run_scene, n_target=n_target)
         if timers is None:
             from .utils.profiling import PhaseTimers
@@ -191,12 +202,15 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         fst = oscillation_table(cfg)
         with timers.phase("problem_1_2"):
             p12 = run_problems_12_sharded(run_scene, fst, run_cfg, mesh,
-                                          dtype=dtype, fast=fast)
+                                          dtype=dtype, fast=fast, tile=tile,
+                                          checkpoint_path=checkpoint_path)
         gravity_device_id, missile_cost = -1, 0.0
         if p12.hit_time_step != -2 and scene.device_cnt > 0:
             with timers.phase("problem_3"):
                 saved = run_problem_3_sharded(run_scene, p12, fst, run_cfg,
-                                              mesh, dtype=dtype, fast=fast)
+                                              mesh, dtype=dtype, fast=fast,
+                                              tile=tile,
+                                              checkpoint_path=checkpoint_path)
             gravity_device_id, missile_cost = select_winner(
                 scene, p12.arrivals, saved, cfg)
         return Answers(

@@ -114,7 +114,12 @@ def _sq_dist(qa, qb, grid: bool = False):
         dx, dy, dz = (r(d[..., k]) for k in range(3))
         return r(r(r(dx * dx) + r(dy * dy)) + r(dz * dz))
     d = qa - qb
-    return d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
+    # bind each component once: for TF3 operands `dk * dk` must see the
+    # SAME object so tfloat.mul routes to sqr() (fresh objects per indexing
+    # would use two_prod3, whose equal cross products XLA CSEs and
+    # reassociates into a ~2^-48 square under jit — two_sq3 docstring)
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    return dx * dx + dy * dy + dz * dz
 
 
 def _select(pred, a, b):
@@ -573,13 +578,18 @@ def run_problem_3(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig, *,
                     checkpoint_path=state_path, fingerprint=fingerprint)
                 saved[k] = bool(sub[0])
                 if progress_path is not None:
+                    # remove the finished scenario's state file BEFORE
+                    # recording it done: the reverse order leaves, on a
+                    # crash in between, a stale .p3.npz whose idx belongs
+                    # to a scenario the progress file already skips — the
+                    # next scenario's resume would then refuse to start
+                    if os.path.exists(state_path):
+                        os.remove(state_path)   # scenario finished
                     done[int(k)] = bool(saved[k])
                     with open(progress_path, "w") as f:
                         json.dump({"fingerprint": fingerprint,
                                    "results": {str(i): bool(v)
                                                for i, v in done.items()}}, f)
-                    if os.path.exists(state_path):
-                        os.remove(state_path)   # scenario finished
             if saved[k]:
                 break  # dominated: later scenarios cost strictly more
         return saved

@@ -33,14 +33,15 @@ def _load():
         subprocess.run(["make", "-C", _NATIVE_DIR, "libnbody_core.so"],
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.nbody_solve.restype = ctypes.c_int
-    lib.nbody_solve.argtypes = [
+    lib.nbody_solve_cfg.restype = ctypes.c_int
+    lib.nbody_solve_cfg.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,          # n, planet, asteroid
         ctypes.POINTER(ctypes.c_double),                   # q (n,3)
         ctypes.POINTER(ctypes.c_double),                   # v (n,3)
         ctypes.POINTER(ctypes.c_double),                   # m (n,)
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,      # device_idx, cnt
         ctypes.c_int, ctypes.c_int,                        # n_steps, mode
+        ctypes.POINTER(ctypes.c_double),                   # phys[8]
         ctypes.POINTER(ctypes.c_double),                   # out_min_dist
         ctypes.POINTER(ctypes.c_int32),                    # out_hit_step
         ctypes.POINTER(ctypes.c_int32),                    # out_device_id
@@ -53,27 +54,36 @@ def _load():
 def solve_exact(scene: Scene, cfg: SimConfig, dist3_mode: str = "pow"):
     """Solve all three problems with the native serial core.
 
-    Note: the native core hard-codes the reference's physics constants; only
-    n_steps and dist3_mode are configurable (it is the golden spec, not the
-    general engine). Returns (min_dist, hit_step, device_id, cost).
+    Every physics constant in `cfg` (dt, eps, G, planet_radius,
+    missile_speed, missile cost coefficients, device-mass period) passes
+    through the C ABI (core.h nbody_solve_cfg) — the runtime analog of the
+    reference's compile-time `namespace param` (hw5.cu:50-67). With the
+    defaults the solver is byte-identical to the hard-coded build (IEEE
+    ops are value-deterministic). Returns (min_dist, hit_step, device_id,
+    cost).
     """
     lib = _load()
     q = np.ascontiguousarray(scene.q, dtype=np.float64)
     v = np.ascontiguousarray(scene.v, dtype=np.float64)
     m = np.ascontiguousarray(scene.m, dtype=np.float64)
     dev = np.ascontiguousarray(scene.device_idx, dtype=np.int32)
+    phys = np.asarray([cfg.dt, cfg.eps, cfg.G, cfg.planet_radius,
+                       cfg.missile_speed, cfg.missile_cost_base,
+                       cfg.missile_cost_per_t, cfg.device_mass_period],
+                      dtype=np.float64)
 
     out_min = ctypes.c_double()
     out_hit = ctypes.c_int32()
     out_dev = ctypes.c_int32()
     out_cost = ctypes.c_double()
-    rc = lib.nbody_solve(
+    rc = lib.nbody_solve_cfg(
         scene.n, scene.planet, scene.asteroid,
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         dev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         scene.device_cnt, cfg.n_steps, _DIST3_MODES[dist3_mode],
+        phys.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.byref(out_min), ctypes.byref(out_hit), ctypes.byref(out_dev),
         ctypes.byref(out_cost),
     )

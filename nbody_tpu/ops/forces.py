@@ -170,8 +170,15 @@ def _tf3_accel_tile(q_i, q_j, gm_j_scaled, gscale_e, eps: float):
         # (within 1 bit); anchor the row max at 2^30.
         lt = tf.exp_bits(tn.hi) + pe                # (..., i, j)
         row_l = jnp.max(lt, axis=-1)                # (..., i)
-        g = tf.exp2_i32(jnp.int32(30) - row_l[..., None] + pe)
-        s = tf.sum_binned(tf.scale_dyn(tn, g), axis=-1)
+        # Forward anchor applied as two half-exponent multiplies (exactly
+        # mirroring the unscale below): a single exp2_i32 factor clamps at
+        # 2^127, which would silently scale short any pair whose gauged
+        # term sits near the f32 flush floor (desired lift > 127) while the
+        # unscale still removes the full anchor — a 2^(lift-127) row error
+        # instead of the documented <=2^-105 graceful flush.
+        ge = jnp.int32(30) - row_l[..., None] + pe
+        tn = tf.scale_dyn(tn, tf.exp2_i32(ge - (ge >> 1)))
+        s = tf.sum_binned(tf.scale_dyn(tn, tf.exp2_i32(ge >> 1)), axis=-1)
         # exact unscale: remove the row anchor and the mass gauge. Applied
         # as two half-exponent multiplies so the FACTOR never underflows
         # f32 even for rows whose acceleration sits near (or below) the

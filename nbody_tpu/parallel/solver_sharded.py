@@ -368,14 +368,31 @@ def _p12_chunk_sharded_tf3(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s,
               planet_oh, asteroid_oh, dev_oh, fst_chunk, t0)
 
 
+def _sharded_fingerprint(scene, cfg, dtype, fast, tile) -> str:
+    """Checkpoint fingerprint for the mesh drivers: the single-device
+    digest plus the force tile size (the tile fixes the summation order,
+    so carries from different tiles are different trajectories). The mesh
+    SHAPE is deliberately excluded — resuming on a different mesh shape
+    with the same tile is bit-exact (the determinism contract above)."""
+    from ..models.direct_sum import _solver_fingerprint
+    return _solver_fingerprint(scene, cfg, dtype, fast) + f":tile={tile}"
+
+
 def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                             dtype=np.float64, fast: bool = False,
                             tile: int | None = None,
-                            host_chunk: int | None = None):
+                            host_chunk: int | None = None,
+                            checkpoint_path: str | None = None):
     """Mesh-sharded Problems 1+2 (+ P3 preprocessing). Same contract as
     models/direct_sum.run_problems_12; scene.n must be a multiple of the
-    body axis (pad via utils/padding first). Returns a P12Result."""
-    from ..models.direct_sum import P12Result, _host_tf
+    body axis (pad via utils/padding first). Returns a P12Result.
+
+    checkpoint_path: persist the full solver carry after every host chunk
+    and resume from it if present (kill-and-rerun mid-mesh-solve is
+    bit-identical; mirrors direct_sum.run_problems_12). Checkpoints are
+    portable across mesh shapes for the same `tile`."""
+    from ..models.direct_sum import (P12Result, _ckpt_pack, _ckpt_unpack_fn,
+                                     _host_tf)
     from ..ops import tfloat
     from ..ops.tfloat import TF3
 
@@ -440,6 +457,34 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
         on_accel = mesh.devices.flat[0].platform != "cpu"
         host_chunk = 2000 if on_accel else cfg.n_steps
     t0 = 0
+    fingerprint = None
+    if checkpoint_path is not None:
+        import os
+
+        from ..utils.checkpoint import load_checkpoint
+        fingerprint = _sharded_fingerprint(scene, cfg, dtype, fast, tile)
+        if os.path.exists(checkpoint_path):
+            step, qc, vc, extra, meta = load_checkpoint(checkpoint_path)
+            if meta.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written for a "
+                    "different scene/config/precision/tile — refusing to "
+                    "resume (delete it or pass a fresh path)")
+            t0 = int(step)
+            if t0 > cfg.n_steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} is at step {t0}, beyond "
+                    f"this run's horizon n_steps={cfg.n_steps}")
+            unpack = _ckpt_unpack_fn(dtype)
+            carry = (
+                put(unpack(qc), state_spec),
+                put(unpack(vc), state_spec),
+                put(unpack(extra["min_d2"]), P("scen")),
+                put(extra["hit"].astype(np.int32), P("scen")),
+                put(extra["arr"].astype(np.int32), P("scen", None)),
+                put(unpack(extra["q_snap"]), P("scen", None, "body", None)),
+                put(unpack(extra["v_snap"]), P("scen", None, "body", None)),
+            )
     while t0 < cfg.n_steps:
         cs = min(host_chunk, cfg.n_steps - t0)
         fst_chunk = np.zeros(host_chunk, host_dtype)
@@ -464,6 +509,16 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                 missile_speed=cfg.missile_speed,
                 dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast, tile=tile)
         t0 += cs
+        if checkpoint_path is not None:
+            from ..utils.checkpoint import save_checkpoint
+            qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            save_checkpoint(
+                checkpoint_path, step=t0, q=_ckpt_pack(qd), v=_ckpt_pack(vd),
+                extra={"min_d2": _ckpt_pack(min_d2),
+                       "hit": np.asarray(hit), "arr": np.asarray(arr),
+                       "q_snap": _ckpt_pack(q_snap),
+                       "v_snap": _ckpt_pack(v_snap)},
+                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint})
 
     _, _, min_d2, hit, arr, q_snap, v_snap = carry
     hit = np.asarray(hit)
@@ -645,10 +700,19 @@ def _p3_chunks_sharded_tf3(q, v, hit_flag, undecided_any, c_start, c_limit,
 
 def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
                           dtype=np.float64, fast: bool = False,
-                          tile: int | None = None) -> np.ndarray:
+                          tile: int | None = None,
+                          host_chunks: int | None = None,
+                          checkpoint_path: str | None = None) -> np.ndarray:
     """Mesh-sharded Problem 3: same contract as
     models/direct_sum.run_problem_3 (batched strategy), scenarios padded to
-    a multiple of the 'scen' axis with frozen ineligible rows."""
+    a multiple of the 'scen' axis with frozen ineligible rows.
+
+    host_chunks bounds `chunk_steps`-step device chunks per call (default:
+    everything on CPU meshes, bounded calls on accelerators).
+    checkpoint_path: persist (chunk, q, v, hit flags) to `<path>.p3.npz`
+    after each host chunk and resume from it — mirrors
+    direct_sum._run_p3_scenarios (bit-identical after a kill-and-rerun)."""
+    from ..models.direct_sum import _ckpt_pack, _ckpt_unpack_fn
     from ..ops import tfloat
     from ..ops.tfloat import TF3
 
@@ -715,26 +779,69 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
     common = dict(mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps,
                   G=cfg.G, planet_radius=cfg.planet_radius, tile=tile,
                   chunk_steps=cs)
-    args = (
-        put(qs, P("scen", "body", None)), put(vs, P("scen", "body", None)),
-        put(hit0, P("scen")),
-        jax.device_put(np.bool_((elig_p & ~hit0).any()), rep),
-        jax.device_put(np.int32(c_start), rep),
-        jax.device_put(np.int32(n_chunks), rep),
+
+    q_j = put(qs, P("scen", "body", None))
+    v_j = put(vs, P("scen", "body", None))
+    hit_j = put(hit0, P("scen"))
+    static = (
         put(arr_masked, P("scen")), put(elig_p, P("scen")),
         put(conv(m0_scen), P("scen", "body")),
         put(conv(m_half_scen), P("scen", "body")),
         put(planet_oh, P("body")), put(asteroid_oh, P("body")),
         jax.device_put(conv(np.asarray(fst, host_dtype)), rep),
     )
-    if is_tf:
-        c, q, v, hit_flag = _p3_chunks_sharded_tf3(
-            *args, grid=(dtype == "tf3grid"), **common)
-    else:
-        c, q, v, hit_flag = _p3_chunks_sharded(
-            *args, dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,
-            **common)
-    hits = np.asarray(hit_flag)[:D]
+
+    if host_chunks is None:
+        on_accel = mesh.devices.flat[0].platform != "cpu"
+        host_chunks = 30 if on_accel else n_chunks
+
+    c = c_start
+    fingerprint = None
+    if checkpoint_path is not None:
+        import os
+
+        from ..utils.checkpoint import load_checkpoint
+        fingerprint = _sharded_fingerprint(scene, cfg, dtype, fast, tile)
+        state_path = checkpoint_path + ".p3.npz"
+        if os.path.exists(state_path):
+            step, qc, vc, extra, meta = load_checkpoint(state_path)
+            if meta.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"P3 checkpoint {state_path} was written for a "
+                    "different scene/config/precision/tile — refusing to "
+                    "resume")
+            c = int(step)
+            unpack = _ckpt_unpack_fn(dtype)
+            q_j = put(unpack(qc), P("scen", "body", None))
+            v_j = put(unpack(vc), P("scen", "body", None))
+            hit_j = put(extra["hit_flag"].astype(bool), P("scen"))
+
+    while c < n_chunks:
+        hits_h = np.asarray(hit_j)
+        undecided = bool((elig_p & ~hits_h).any())
+        if not undecided:
+            break
+        args = (
+            q_j, v_j, hit_j,
+            jax.device_put(np.bool_(undecided), rep),
+            jax.device_put(np.int32(c), rep),
+            jax.device_put(np.int32(min(c + host_chunks, n_chunks)), rep),
+        ) + static
+        if is_tf:
+            c_j, q_j, v_j, hit_j = _p3_chunks_sharded_tf3(
+                *args, grid=(dtype == "tf3grid"), **common)
+        else:
+            c_j, q_j, v_j, hit_j = _p3_chunks_sharded(
+                *args, dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,
+                **common)
+        c = int(c_j)
+        if checkpoint_path is not None:
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(state_path, step=c, q=_ckpt_pack(q_j),
+                            v=_ckpt_pack(v_j),
+                            extra={"hit_flag": np.asarray(hit_j)},
+                            meta={"fingerprint": fingerprint})
+    hits = np.asarray(hit_j)[:D]
     return eligible & ~hits
 
 

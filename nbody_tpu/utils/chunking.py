@@ -16,6 +16,15 @@ to the measured rate:
     keeps the set of jit signatures small: each distinct chunk length is a
     separate ~minutes remote compile on this TPU).
 
+The rate is RE-measured on every chunk, not just the calibration one: the
+compile service's code quality swings up to 4.4x within a session on this
+TPU (results/ACCURACY.md, measurement-environment caveat), so a chunk sized
+for a healthy epoch can drift toward the watchdog mid-run. A chunk that
+runs past MAX_SEC at the latest rate halves (repeatedly) back toward the
+probe; once the rate recovers, the chunk grows back — but only to sizes
+already used this run, so no new jit signatures are ever introduced by the
+re-measurement.
+
 Even a 10x-mis-calibrated prior only mis-sizes the two probe chunks
 (~200 s worst case, still under the watchdog); everything after runs at
 measured-rate sizing.
@@ -49,6 +58,7 @@ class AdaptiveChunker:
             probe = min(probe, cap)
         self.probe = probe
         self.chunk = probe
+        self._peak_chunk = probe
         self._calls = 0
         self._t0 = None
         self.measured_rate: float | None = None   # steps / sec
@@ -64,13 +74,25 @@ class AdaptiveChunker:
         self._calls += 1
         if self._calls == 1 or steps_run <= 0:
             return                       # compile chunk / early exit: noise
+        rate = steps_run / elapsed
         if self.measured_rate is None:
-            self.measured_rate = steps_run / elapsed
-            target = self.measured_rate * self.TARGET_SEC
+            self.measured_rate = rate
+            target = rate * self.TARGET_SEC
             k = max(0, int(math.floor(math.log2(max(target, 1) / self.probe))))
             chunk = self.probe << k
             # never exceed MAX_SEC at the measured rate
-            while (chunk > self.probe
-                   and chunk / self.measured_rate > self.MAX_SEC):
+            while chunk > self.probe and chunk / rate > self.MAX_SEC:
                 chunk >>= 1
             self.chunk = min(chunk, self._n_steps)
+            self._peak_chunk = self.chunk
+            return
+        # steady state: re-measure every chunk. Shrink while the latest
+        # rate projects the current chunk past MAX_SEC (guards against the
+        # documented mid-run compile-service slowdowns); grow back once
+        # healthy, but only to sizes already used (no new jit signatures).
+        self.measured_rate = rate
+        while self.chunk > self.probe and self.chunk / rate > self.MAX_SEC:
+            self.chunk >>= 1
+        while (self.chunk * 2 <= self._peak_chunk
+               and (self.chunk * 2) / rate <= self.TARGET_SEC):
+            self.chunk <<= 1

@@ -116,10 +116,19 @@ def compute_rescale(scene: Scene, eps: float = 1e-3,
         qe_max = math.floor(math.log2(
             2.0 ** 57 / math.sqrt(3.0) / (2.0 * growth_margin * qmax)))
         floors = []
-        dq = scene.q[None, :, :] - scene.q[:, None, :]       # (i, j, 3)
-        d2 = (dq * dq).sum(-1) + eps * eps
-        a = ((G * scene.m)[None, :, None] * dq
-             / (d2 * np.sqrt(d2))[:, :, None]).sum(axis=1)   # (n, 3)
+        # t=0 acceleration estimate in j-chunks: O(n * block) host memory
+        # (the full (n, n, 3) dq tensor is ~100 GB at n=65536 — it would
+        # OOM the single-core host even though the device kernels are
+        # j-blocked for exactly that scale).
+        n = scene.q.shape[0]
+        block = int(np.clip((1 << 29) // max(24 * n, 1), 32, n))
+        gm = G * scene.m
+        a = np.zeros((n, 3))
+        for j0 in range(0, n, block):
+            dq = scene.q[None, j0:j0 + block, :] - scene.q[:, None, :]
+            d2 = (dq * dq).sum(-1) + eps * eps
+            a += (gm[None, j0:j0 + block, None] * dq
+                  / (d2 * np.sqrt(d2))[:, :, None]).sum(axis=1)
         amag = np.abs(a).max(axis=1)
         if (amag > 0).any():
             floors.append(float(amag[amag > 0].min()))

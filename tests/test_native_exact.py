@@ -35,6 +35,46 @@ def test_exact_matches_oracle_binary(tmp_path):
     assert format_output(*ans.as_tuple()) == want
 
 
+def test_exact_honors_config_overrides():
+    """The C ABI passes the physics constants through (core.h
+    nbody_solve_cfg): defaults are byte-identical to the legacy entry, and
+    a changed planet_radius changes the native answer (no silent fallback
+    to the reference's hard-coded params)."""
+    from nbody_tpu.native import solve_exact
+
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    cfg = dataclasses.replace(SimConfig(), n_steps=500)
+    base = solve_exact(scene, cfg, dist3_mode="pow")
+
+    # a planet radius above the observed minimum distance forces a hit
+    big = dataclasses.replace(cfg, planet_radius=2.0 * base[0])
+    md, hs, dev, cost = solve_exact(scene, big, dist3_mode="pow")
+    assert md == base[0]                    # trajectory untouched
+    assert hs != -2 and hs != base[1]       # hit decision responds
+
+    # G=0 turns the dynamics into straight-line drift; replicating the
+    # exact iterative update (q += v*dt per step, v unchanged) in host f64
+    # must reproduce the native min_dist bit-for-bit
+    import numpy as np
+    frozen = dataclasses.replace(cfg, G=0.0)
+    md0, _, _, _ = solve_exact(scene, frozen, dist3_mode="pow")
+    qp = scene.q[scene.planet].astype(np.float64).copy()
+    qa = scene.q[scene.asteroid].astype(np.float64).copy()
+    vp = scene.v[scene.planet].astype(np.float64)
+    va = scene.v[scene.asteroid].astype(np.float64)
+
+    def sqd(a, b):
+        dx, dy, dz = a[0] - b[0], a[1] - b[1], a[2] - b[2]
+        return dx * dx + dy * dy + dz * dz
+
+    best = sqd(qp, qa)
+    for _ in range(cfg.n_steps):
+        qp = qp + vp * cfg.dt
+        qa = qa + va * cfg.dt
+        best = min(best, sqd(qp, qa))
+    assert md0 == float(np.sqrt(best))
+
+
 def test_exact_agrees_with_f64_engine_short():
     """Over a short horizon (before chaos amplifies reduction-order ulps)
     the native core and the JAX f64 path must give the same answers."""

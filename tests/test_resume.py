@@ -181,3 +181,89 @@ def test_ckpt_pack_roundtrip_extended_dtypes():
     np.testing.assert_array_equal(np.asarray(back.lo), e.lo)
     np.testing.assert_array_equal(
         f64emu.to_f64(np.asarray(back.hi), np.asarray(back.lo)), x)
+
+
+def test_p12_sharded_checkpoint_resume_bitexact(tmp_path):
+    """Kill-and-rerun mid-mesh-solve is bit-identical (VERDICT r2 weak 3):
+    the sharded P12 checkpoint mirrors the single-device contract and is
+    portable across mesh shapes for the same tile."""
+    from nbody_tpu.parallel import make_mesh
+    from nbody_tpu.parallel.solver_sharded import run_problems_12_sharded
+    from nbody_tpu.utils.padding import pad_scene
+
+    scene = pad_scene(read_input(os.path.join(TESTCASE_DIR, "b20.in")),
+                      n_target=32, d_target=2)
+    cfg = dataclasses.replace(SimConfig(), n_steps=100)
+    fst = oscillation_table(cfg)
+    mesh = make_mesh({"scen": 2, "body": 4})
+
+    ref = run_problems_12_sharded(scene, fst, cfg, mesh, tile=4)
+
+    ck = str(tmp_path / "p12s.npz")
+    cfg_partial = dataclasses.replace(cfg, n_steps=60)
+    run_problems_12_sharded(scene, oscillation_table(cfg_partial),
+                            cfg_partial, mesh, tile=4, host_chunk=30,
+                            checkpoint_path=ck)
+    assert os.path.exists(ck)
+
+    # resume on a DIFFERENT mesh shape (same tile): still bit-identical
+    mesh2 = make_mesh({"scen": 1, "body": 8})
+    res = run_problems_12_sharded(scene, fst, cfg, mesh2, tile=4,
+                                  host_chunk=30, checkpoint_path=ck)
+    assert res.min_dist == ref.min_dist
+    assert res.hit_time_step == ref.hit_time_step
+    np.testing.assert_array_equal(res.arrivals, ref.arrivals)
+    np.testing.assert_array_equal(res.q_snaps, ref.q_snaps)
+    np.testing.assert_array_equal(res.v_snaps, ref.v_snaps)
+
+    # a different tile is a different trajectory: refuse to resume
+    import pytest
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_problems_12_sharded(scene, fst, cfg, mesh2, tile=8,
+                                checkpoint_path=ck)
+
+
+def test_p3_sharded_checkpoint_resume_bitexact(tmp_path):
+    """Mid-P3 preemption on the mesh resumes bit-identically."""
+    from nbody_tpu.models.direct_sum import run_problems_12
+    from nbody_tpu.parallel import make_mesh
+    from nbody_tpu.parallel.solver_sharded import run_problem_3_sharded
+    from nbody_tpu.utils.padding import pad_scene
+
+    scene = pad_scene(read_input(os.path.join(TESTCASE_DIR, "b20.in")),
+                      n_target=32, d_target=2)
+    cfg = dataclasses.replace(SimConfig(), n_steps=400,
+                              planet_radius=2.044e14, missile_speed=1e30,
+                              chunk_steps=50)
+    fst = oscillation_table(cfg)
+    p12 = run_problems_12(scene, fst, cfg)
+    assert p12.hit_time_step != -2
+    mesh = make_mesh({"scen": 2, "body": 4})
+
+    ref = run_problem_3_sharded(scene, p12, fst, cfg, mesh, tile=4)
+
+    ck = str(tmp_path / "solve_s.npz")
+    import nbody_tpu.parallel.solver_sharded as ss
+
+    calls = {"n": 0}
+    orig = ss._p3_chunks_sharded
+
+    def interrupting(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise KeyboardInterrupt("simulated preemption")
+        return orig(*a, **kw)
+
+    ss._p3_chunks_sharded = interrupting
+    try:
+        import pytest
+        with pytest.raises(KeyboardInterrupt):
+            run_problem_3_sharded(scene, p12, fst, cfg, mesh, tile=4,
+                                  host_chunks=1, checkpoint_path=ck)
+    finally:
+        ss._p3_chunks_sharded = orig
+    assert os.path.exists(ck + ".p3.npz")
+
+    res = run_problem_3_sharded(scene, p12, fst, cfg, mesh, tile=4,
+                                host_chunks=1, checkpoint_path=ck)
+    np.testing.assert_array_equal(res, ref)

@@ -244,9 +244,9 @@ def test_p3_winner_unreachable_when_missile_too_slow():
     scene = _deflection_scene()
     cfg = dataclasses.replace(SimConfig(), n_steps=5000,
                               dist3_mode="dsqrt", missile_speed=1e3)
-    # engine-only: the native core hard-codes the reference's
-    # missile_speed (native.py docstring), so no cross-check here
-    eng = solve_scene(scene, cfg, precision="f64", platform="cpu")
+    # cross-checked against the native core: the C ABI accepts the full
+    # physics config (core.h nbody_solve_cfg), including missile_speed
+    eng, _ = _agree(scene, cfg)
     assert eng.hit_time_step == 48
     assert eng.gravity_device_id == -1
     assert eng.missile_cost == 0.0

@@ -83,6 +83,32 @@ def test_adaptive_chunker_fake_timer():
     assert ck2.chunk == ck2.probe  # 2000 steps @ 5/s = 400 s > prior, no growth
 
 
+def test_adaptive_chunker_midrun_slowdown():
+    """A mid-run slowdown (the documented 4.4x compile-service swing) must
+    shrink the chunk before it drifts past MAX_SEC — and the chunk must
+    grow back, but only to already-used sizes, once the rate recovers."""
+    from nbody_tpu.utils.chunking import AdaptiveChunker
+
+    clock = [0.0]
+    ck = AdaptiveChunker(1e-6, 10_000_000, timer=lambda: clock[0])
+    assert ck.probe == 2000
+    ck.start(); clock[0] += 300.0; ck.finish(2000)       # compile chunk
+    ck.start(); clock[0] += 0.2; ck.finish(2000)         # healthy: 1e4 st/s
+    healthy_chunk = ck.chunk
+    assert healthy_chunk == 2000 << 8                    # 512000 @ ~51 s
+    # the service degrades 4.4x: 512000 steps now take ~225 s (> MAX 180)
+    ck.start(); clock[0] += healthy_chunk / (1e4 / 4.4); ck.finish(healthy_chunk)
+    assert ck.chunk < healthy_chunk                      # shrank
+    assert ck.chunk / ck.measured_rate <= AdaptiveChunker.MAX_SEC
+    shrunk = ck.chunk
+    # still degraded: stays put (projected under MAX_SEC)
+    ck.start(); clock[0] += shrunk / (1e4 / 4.4); ck.finish(shrunk)
+    assert ck.chunk == shrunk
+    # recovery: grows back, but never past the peak already compiled
+    ck.start(); clock[0] += ck.chunk / 1e4; ck.finish(ck.chunk)
+    assert shrunk < ck.chunk <= healthy_chunk
+
+
 def test_adaptive_chunker_zero_progress():
     from nbody_tpu.utils.chunking import AdaptiveChunker
     clock = [0.0]
