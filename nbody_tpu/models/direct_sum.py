@@ -287,6 +287,42 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
     return carry
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "dt", "eps", "G", "dist3_mode", "planet",
+                     "asteroid", "fast", "f64_grid"),
+)
+def _p1_chunk(q, v, min_d2, fst_chunk, t0, m0_row, m_half_row, *, n_steps,
+              dt, eps, G, dist3_mode, planet, asteroid, fast=False,
+              f64_grid=False):
+    """Devices-off (Problem 1) row alone: the post-hit continuation of
+    _p12_chunk once Problem 2's answer is settled (the reference breaks
+    out of its devices-on loop at the hit, hw5.cu:398-402; the serial spec
+    too, samples/nbody.cc:133-137 / native/core.cc:183). Bit-exact: the
+    P1 row's arithmetic is identical to its row inside the stacked chunk
+    (the scenario batch is elementwise), only the dead P2 row's work is
+    dropped. q/v: (1, n, 3) — the devices-off scenario row."""
+    offs = jnp.arange(1, fst_chunk.shape[0] + 1, dtype=jnp.int32)
+    xs = (t0.astype(jnp.int32) + offs, fst_chunk)
+
+    def body(carry, x):
+        q, v, min_d2 = carry
+        t, fst_t = x
+        in_range = t <= jnp.int32(n_steps)
+        m_eff = m0_row + m_half_row * fst_t
+        q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
+                                       dist3_mode=dist3_mode, fast=fast,
+                                       f64_grid=f64_grid)
+        q = _select(in_range, q2, q)
+        v = _select(in_range, v2, v)
+        d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid], grid=f64_grid)
+        min_d2 = _select(in_range, _minimum(min_d2, d2_pa0), min_d2)
+        return (q, v, min_d2), None
+
+    carry, _ = lax.scan(body, (q, v, min_d2), xs)
+    return carry
+
+
 def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                     dtype=np.float64, fast: bool = False,
                     host_chunk: int | None = None,
@@ -342,13 +378,25 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     chunker = None
     if host_chunk is None:
         if not on_accel:
-            host_chunk = cfg.n_steps   # CPU XLA has no execution watchdog
+            # CPU XLA has no execution watchdog; chunk anyway (bit-exact)
+            # so the P2 early exit below gets boundaries to act on
+            host_chunk = min(cfg.n_steps, 25000)
         else:
             from ..utils.chunking import AdaptiveChunker
             prior = (_E64_SEC_PER_PAIR_STEP if _is_e64(dtype)
                      else _DD_SEC_PER_PAIR_STEP)
             chunker = AdaptiveChunker(prior * 2 * n * n, cfg.n_steps)
     t0 = 0
+    # P2 early exit (hw5.cu:398-402; native/core.cc:183): once the hit is
+    # found, the devices-on row's remaining evolution can only produce
+    # arrivals AFTER the hit — all ineligible for Problem 3
+    # (run_problem_3's `arrival <= hit` filter) — so at the next chunk
+    # boundary the driver drops to the P1-only chunk. Bit-exact for every
+    # answer; the only observable difference is that post-hit arrivals
+    # report -2 instead of a step > hit (both mean "cannot save").
+    hit_h = int(np.asarray(carry[3]))
+    p1_carry = None                     # (q, v, min_d2) after the switch
+    p2_frozen = None                    # (hit, arr, q_snap, v_snap)
     if checkpoint_path is not None:
         import os
         from ..utils.checkpoint import load_checkpoint, save_checkpoint
@@ -372,45 +420,75 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                      put(extra["arr"].astype(np.int32)),
                      put(unpack(extra["q_snap"])),
                      put(unpack(extra["v_snap"])))
+            hit_h = int(extra["hit"])
     while t0 < cfg.n_steps:
+        if hit_h != -2 and p1_carry is None:
+            # switch: freeze the decided P2-row answers, keep only the
+            # devices-off row marching
+            qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            p2_frozen = (hit, arr, q_snap, v_snap)
+            p1_carry = (qd[0:1], vd[0:1], min_d2)
         hc = chunker.start() if chunker is not None else host_chunk
         cs = min(hc, cfg.n_steps - t0)
         # reuse compiled signatures: always pass hc-long fst slices (padded
         # at the tail; masked in-kernel). The chunker only ever emits the
         # probe size and one adapted power-of-two multiple of it, so at most
-        # two signatures per (n, D) bucket.
+        # two signatures per (n, D) bucket (per phase).
         fst_chunk = np.zeros(hc, dtype=host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
-        carry = _p12_chunk(
-            *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
-            put(np.int32(t0)),
-            n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-            planet_radius=cfg.planet_radius,
-            missile_speed=cfg.missile_speed,
-            dist3_mode=cfg.dist3_mode or "dsqrt",
-            planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-            f64_grid=_is_grid(dtype),
-        )
+        if p1_carry is not None:
+            p1_carry = _p1_chunk(
+                *p1_carry, put(conv(fst_chunk)), put(np.int32(t0)),
+                m0_s[0:1], m_half[0:1],
+                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+                dist3_mode=cfg.dist3_mode or "dsqrt",
+                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+                f64_grid=_is_grid(dtype),
+            )
+            watch = p1_carry
+        else:
+            carry = _p12_chunk(
+                *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
+                put(np.int32(t0)),
+                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+                planet_radius=cfg.planet_radius,
+                missile_speed=cfg.missile_speed,
+                dist3_mode=cfg.dist3_mode or "dsqrt",
+                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+                f64_grid=_is_grid(dtype),
+            )
+            watch = carry
         if chunker is not None or on_accel:
-            jax.block_until_ready(carry)
+            jax.block_until_ready(watch)
         if chunker is not None:
             chunker.finish(cs)
         if on_accel:
-            _guard_finite(carry[0], carry[2],
+            _guard_finite(watch[0], watch[2],
                           context=f"in P1/P2 after step {t0 + cs}")
         t0 += cs
+        if p1_carry is None:
+            hit_h = int(np.asarray(carry[3]))
         if checkpoint_path is not None:
-            qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
             pack = _ckpt_pack
+            if p1_carry is not None:
+                qd, vd, min_d2 = p1_carry
+                hit, arr, q_snap, v_snap = p2_frozen
+            else:
+                qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
             save_checkpoint(
                 checkpoint_path, step=t0, q=pack(qd), v=pack(vd),
                 extra={"min_d2": pack(min_d2),
                        "hit": np.asarray(hit), "arr": np.asarray(arr),
                        "q_snap": pack(q_snap),
                        "v_snap": pack(v_snap)},
-                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint})
+                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint,
+                      "phase": "p1" if p1_carry is not None else "p12"})
 
-    _, _, min_d2, hit, arr, q_snap, v_snap = carry
+    if p1_carry is not None:
+        _, _, min_d2 = p1_carry
+        hit, arr, q_snap, v_snap = p2_frozen
+    else:
+        _, _, min_d2, hit, arr, q_snap, v_snap = carry
     if is_tf:
         return P12Result(
             min_dist=float(np.sqrt(tfloat.to_f64(min_d2))),

@@ -458,6 +458,19 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
         host_chunk = 2000 if on_accel else cfg.n_steps
     t0 = 0
     fingerprint = None
+    # P2 early exit (the sharded twin of direct_sum's; hw5.cu:398-402):
+    # once the hit is known, the devices-on row is dead weight — but only
+    # when the scenario axis is UNSHARDED do the rows share devices, so
+    # only then does dropping row 1 buy wall-clock. With scen > 1 the rows
+    # run on disjoint device rows in parallel and the stacked chunk is
+    # kept (the reference's GPU-1 also idles after its break).
+    can_exit_early = scen_size == 1
+    frozen = None                      # (hit, arr, q_snap, v_snap) rows
+    if is_tf:
+        _row0 = lambda a: (TF3(a.hi[0:1], a.mid[0:1], a.lo[0:1])
+                           if isinstance(a, TF3) else a[0:1])
+    else:
+        _row0 = lambda a: a[0:1]
     if checkpoint_path is not None:
         import os
 
@@ -476,16 +489,46 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                     f"checkpoint {checkpoint_path} is at step {t0}, beyond "
                     f"this run's horizon n_steps={cfg.n_steps}")
             unpack = _ckpt_unpack_fn(dtype)
-            carry = (
-                put(unpack(qc), state_spec),
-                put(unpack(vc), state_spec),
-                put(unpack(extra["min_d2"]), P("scen")),
-                put(extra["hit"].astype(np.int32), P("scen")),
-                put(extra["arr"].astype(np.int32), P("scen", None)),
-                put(unpack(extra["q_snap"]), P("scen", None, "body", None)),
-                put(unpack(extra["v_snap"]), P("scen", None, "body", None)),
-            )
+            hit2 = extra["hit"].astype(np.int32)
+            arr2 = extra["arr"].astype(np.int32)
+            qs2, vs2 = unpack(extra["q_snap"]), unpack(extra["v_snap"])
+            if meta.get("phase") == "p1":
+                # saved after the early-exit switch: q/v/min_d2 are the
+                # 1-row devices-off state; hit/arr/snaps the frozen rows
+                if scen_size != 1:
+                    raise ValueError(
+                        "checkpoint was written post-early-exit (P1-only "
+                        "phase) and can only resume on a scen=1 mesh")
+                frozen = (put(hit2, P("scen")), put(arr2, P("scen", None)),
+                          put(qs2, P("scen", None, "body", None)),
+                          put(vs2, P("scen", None, "body", None)))
+                carry = (
+                    put(unpack(qc), state_spec),
+                    put(unpack(vc), state_spec),
+                    put(unpack(extra["min_d2"]), P("scen")),
+                    put(hit2[0:1], P("scen")),
+                    put(arr2[0:1], P("scen", None)),
+                    put(_row0(qs2), P("scen", None, "body", None)),
+                    put(_row0(vs2), P("scen", None, "body", None)),
+                )
+                m0_j, mh_j = _row0(m0_j), _row0(mh_j)
+            else:
+                carry = (
+                    put(unpack(qc), state_spec),
+                    put(unpack(vc), state_spec),
+                    put(unpack(extra["min_d2"]), P("scen")),
+                    put(hit2, P("scen")),
+                    put(arr2, P("scen", None)),
+                    put(qs2, P("scen", None, "body", None)),
+                    put(vs2, P("scen", None, "body", None)),
+                )
+    hit_h = int(np.asarray(carry[3] if frozen is None else frozen[0])[1])
     while t0 < cfg.n_steps:
+        if can_exit_early and hit_h != -2 and frozen is None:
+            qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            frozen = (hit, arr, q_snap, v_snap)
+            carry = tuple(_row0(x) for x in carry)
+            m0_j, mh_j = _row0(m0_j), _row0(mh_j)
         cs = min(host_chunk, cfg.n_steps - t0)
         fst_chunk = np.zeros(host_chunk, host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
@@ -509,18 +552,27 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                 missile_speed=cfg.missile_speed,
                 dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast, tile=tile)
         t0 += cs
+        if can_exit_early and frozen is None:
+            hit_h = int(np.asarray(carry[3])[1])
         if checkpoint_path is not None:
             from ..utils.checkpoint import save_checkpoint
             qd, vd, min_d2, hit, arr, q_snap, v_snap = carry
+            if frozen is not None:
+                hit, arr, q_snap, v_snap = frozen
             save_checkpoint(
                 checkpoint_path, step=t0, q=_ckpt_pack(qd), v=_ckpt_pack(vd),
                 extra={"min_d2": _ckpt_pack(min_d2),
                        "hit": np.asarray(hit), "arr": np.asarray(arr),
                        "q_snap": _ckpt_pack(q_snap),
                        "v_snap": _ckpt_pack(v_snap)},
-                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint})
+                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint,
+                      "phase": "p1" if frozen is not None else "p12"})
 
     _, _, min_d2, hit, arr, q_snap, v_snap = carry
+    if frozen is not None:
+        # early-exited: P2/P3 outputs were settled at the switch; only the
+        # devices-off row (min_d2) kept marching
+        hit, arr, q_snap, v_snap = frozen
     hit = np.asarray(hit)
     arr = np.asarray(arr)
     # Problem 1 answer from the devices-off row; Problem 2/3 state from the

@@ -177,3 +177,69 @@ def test_blocked_force_kernel_matches_unblocked():
         blk = np.asarray(pairwise_accel_blocked(q, m, G=6.674e-11,
                                                 eps=1e-3, block=block))
         np.testing.assert_allclose(blk, full, rtol=1e-13, atol=0)
+
+
+def test_p2_early_exit_bitexact():
+    """Once the hit is found, the driver drops the devices-on row at a
+    chunk boundary (the reference's break, hw5.cu:398-402). Every answer
+    must be BIT-identical to the no-early-exit run — in particular the
+    P1 row's continuation in the (1, n, 3) batch must reduce in the same
+    order XLA used for the (2, n, 3) batch."""
+    import dataclasses
+
+    from nbody_tpu import SimConfig, read_input
+    from nbody_tpu.engine import select_winner
+    from nbody_tpu.models.direct_sum import run_problem_3, run_problems_12
+    from nbody_tpu.physics import oscillation_table
+
+    scene = read_input("/root/reference/testcases/b20.in")
+    # radius forces a mid-run hit (cf. test_solver_sharded technique);
+    # huge missile speed gives step-1 arrivals so P3 is exercised
+    cfg = dataclasses.replace(SimConfig(), n_steps=400,
+                              planet_radius=2.044e14, missile_speed=1e30)
+    fst = oscillation_table(cfg)
+
+    ref = run_problems_12(scene, fst, cfg, host_chunk=400)   # no boundary
+    assert ref.hit_time_step not in (-2, 400), "setup: need a mid-run hit"
+    ee = run_problems_12(scene, fst, cfg, host_chunk=50)     # exits early
+
+    assert ee.min_dist == ref.min_dist                       # bitwise
+    assert ee.hit_time_step == ref.hit_time_step
+    # arrivals at or before the hit are answer-relevant: must be identical
+    # (later ones may be -2 under early exit — both mean "cannot save")
+    rel = (ref.arrivals != -2) & (ref.arrivals <= ref.hit_time_step)
+    np.testing.assert_array_equal(ee.arrivals[rel], ref.arrivals[rel])
+    assert all((a == -2) or (a == b)
+               for a, b in zip(ee.arrivals, ref.arrivals))
+    np.testing.assert_array_equal(ee.q_snaps[rel], ref.q_snaps[rel])
+
+    saved_ref = run_problem_3(scene, ref, fst, cfg, strategy="batched")
+    saved_ee = run_problem_3(scene, ee, fst, cfg, strategy="batched")
+    assert select_winner(scene, ee.arrivals, saved_ee, cfg) == \
+           select_winner(scene, ref.arrivals, saved_ref, cfg)
+
+
+def test_p2_early_exit_checkpoint_resume(tmp_path):
+    """Preemption AFTER the early-exit switch resumes bit-identically."""
+    import dataclasses
+
+    from nbody_tpu import SimConfig, read_input
+    from nbody_tpu.models.direct_sum import run_problems_12
+    from nbody_tpu.physics import oscillation_table
+
+    scene = read_input("/root/reference/testcases/b20.in")
+    cfg = dataclasses.replace(SimConfig(), n_steps=400,
+                              planet_radius=2.044e14, missile_speed=1e30)
+    fst = oscillation_table(cfg)
+    ref = run_problems_12(scene, fst, cfg, host_chunk=50)
+    assert ref.hit_time_step != -2
+
+    ck = str(tmp_path / "ee.npz")
+    cfg_partial = dataclasses.replace(cfg, n_steps=300)   # "crash" at 300
+    run_problems_12(scene, oscillation_table(cfg_partial), cfg_partial,
+                    host_chunk=50, checkpoint_path=ck)
+    res = run_problems_12(scene, fst, cfg, host_chunk=50,
+                          checkpoint_path=ck)
+    assert res.min_dist == ref.min_dist
+    assert res.hit_time_step == ref.hit_time_step
+    np.testing.assert_array_equal(res.arrivals, ref.arrivals)

@@ -95,3 +95,53 @@ def test_full_sharded_solve_with_p3(b20p):
     assert (a.hit_time_step, a.gravity_device_id, a.missile_cost) == \
            (b.hit_time_step, b.gravity_device_id, b.missile_cost)
     np.testing.assert_allclose(a.min_dist, float(p12.min_dist), rtol=1e-12)
+
+
+def test_p2_early_exit_sharded_bitexact(b20p):
+    """On a scen=1 mesh the sharded driver drops the devices-on row once
+    the hit is known (direct_sum's early exit, hw5.cu:398-402) — answers
+    bit-identical to the no-exit run; scen=2 meshes keep the stacked
+    chunk (rows live on disjoint devices, nothing to save)."""
+    cfg = dataclasses.replace(SimConfig(), n_steps=400,
+                              planet_radius=2.044e14, missile_speed=1e30)
+    fst = oscillation_table(cfg)
+    mesh = make_mesh({"scen": 1, "body": 4})
+    ref = run_problems_12_sharded(b20p, fst, cfg, mesh, tile=4,
+                                  host_chunk=400)
+    assert ref.hit_time_step not in (-2, 400)
+    ee = run_problems_12_sharded(b20p, fst, cfg, mesh, tile=4,
+                                 host_chunk=50)
+    assert ee.min_dist == ref.min_dist
+    assert ee.hit_time_step == ref.hit_time_step
+    rel = (ref.arrivals != -2) & (ref.arrivals <= ref.hit_time_step)
+    np.testing.assert_array_equal(ee.arrivals[rel], ref.arrivals[rel])
+    np.testing.assert_array_equal(ee.q_snaps[rel], ref.q_snaps[rel])
+    # scen=2: stacked chunks throughout, same answers
+    two = run_problems_12_sharded(b20p, fst, cfg,
+                                  make_mesh({"scen": 2, "body": 4}),
+                                  tile=4, host_chunk=50)
+    assert two.min_dist == ref.min_dist
+    assert two.hit_time_step == ref.hit_time_step
+
+
+def test_p2_early_exit_sharded_checkpoint_resume(b20p, tmp_path):
+    """Preemption AFTER the sharded early-exit switch resumes
+    bit-identically (the checkpoint records the P1-only phase)."""
+    cfg = dataclasses.replace(SimConfig(), n_steps=400,
+                              planet_radius=2.044e14, missile_speed=1e30)
+    fst = oscillation_table(cfg)
+    mesh = make_mesh({"scen": 1, "body": 4})
+    ref = run_problems_12_sharded(b20p, fst, cfg, mesh, tile=4,
+                                  host_chunk=50)
+    assert ref.hit_time_step != -2
+
+    ck = str(tmp_path / "ee_s.npz")
+    cfg_partial = dataclasses.replace(cfg, n_steps=300)
+    run_problems_12_sharded(b20p, oscillation_table(cfg_partial),
+                            cfg_partial, mesh, tile=4, host_chunk=50,
+                            checkpoint_path=ck)
+    res = run_problems_12_sharded(b20p, fst, cfg, mesh, tile=4,
+                                  host_chunk=50, checkpoint_path=ck)
+    assert res.min_dist == ref.min_dist
+    assert res.hit_time_step == ref.hit_time_step
+    np.testing.assert_array_equal(res.arrivals, ref.arrivals)
