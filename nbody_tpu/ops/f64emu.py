@@ -103,9 +103,23 @@ def pack(s, e, l1, l0):
 # ---------------------------------------------------------------------------
 # shared rounding tail
 # ---------------------------------------------------------------------------
+#
+# The ops below exist in TWO forms: the packed form (uint32 IEEE pairs in,
+# pairs out — the stable external interface) and an UNPACKED form (`*_u`,
+# normalized (sign, biased_exp, L1, L0) quads in and out). The unpacked
+# forms are what the force kernel chains: eliding the pack/unpack bit
+# twiddling between consecutive ops saves ~15-20% of the op stream while
+# producing, BY CONSTRUCTION, the same bits — `_round_norm` replicates
+# pack-then-unpack semantics exactly (tiny -> true zero quad; overflow ->
+# the quad unpack() reads from the inf pattern), and each packed op is
+# literally pack(op_u(unpack(...))) (fuzz-validated vs host IEEE f64,
+# tests/test_f64emu.py).
 
-def _round_pack(s, e, l1, l0, grd, sticky):
-    """RNE-round (L1, L0 | grd28 + sticky) and pack. L1 in [2^24, 2^25)."""
+def _round_norm(s, e, l1, l0, grd, sticky):
+    """RNE-round (L1, L0 | grd28 + sticky) to a NORMALIZED unpacked quad.
+    L1 in [2^24, 2^25). Tiny results flush to the zero quad; overflow
+    saturates to the quad unpack() produces for the inf pattern — exactly
+    pack-then-unpack of the packed rounding tail."""
     up = (grd > _u(_HALF28)) | ((grd == _u(_HALF28))
                                & (sticky | ((l0 & _u(1)) != 0)))
     l0 = l0 + up.astype(U32)
@@ -115,18 +129,34 @@ def _round_pack(s, e, l1, l0, grd, sticky):
     ovf = l1 >> 25                      # rounded up to 2^53
     e = e + _i(ovf)
     l1 = jnp.where(ovf != 0, _u(1 << 24), l1)
-    return pack(s, e, l1, l0)
+    tiny = e <= 0
+    huge = e >= 2047
+    e = jnp.where(tiny, _i(0), jnp.where(huge, _i(2047), e))
+    l1 = jnp.where(tiny, _u(0), jnp.where(huge, _u(1 << 24), l1))
+    l0 = jnp.where(tiny | huge, _u(0), l0)
+    return s, e, l1, l0
+
+
+def pack_norm(s, e, l1, l0):
+    """Normalized unpacked quad (as produced by _round_norm / the *_u ops)
+    -> packed IEEE pair. Inverse of unpack on the ops' output domain."""
+    eu = _u(e)
+    hi = (s << 31) | (eu << 20) | ((l1 >> 4) & _u(0xFFFFF))
+    lo = ((l1 & _u(0xF)) << 28) | l0
+    return hi, lo
+
+
+def _round_pack(s, e, l1, l0, grd, sticky):
+    """RNE-round (L1, L0 | grd28 + sticky) and pack. L1 in [2^24, 2^25)."""
+    return pack_norm(*_round_norm(s, e, l1, l0, grd, sticky))
 
 
 # ---------------------------------------------------------------------------
 # add / sub
 # ---------------------------------------------------------------------------
 
-def add(ah, al, bh, bl):
-    """Correctly-rounded binary64 a + b on packed uint32 pairs."""
-    sa, ea, a1, a0 = unpack(ah, al)
-    sb, eb, b1, b0 = unpack(bh, bl)
-
+def add_u(sa, ea, a1, a0, sb, eb, b1, b0):
+    """Correctly-rounded binary64 a + b on normalized unpacked quads."""
     # order by magnitude: x = larger (ties -> a), y = smaller
     a_ge = (ea > eb) | ((ea == eb) & ((a1 > b1)
                                       | ((a1 == b1) & (a0 >= b0))))
@@ -218,17 +248,32 @@ def add(ah, al, bh, bl):
     stf = jnp.where(sh == -1, c_st, sticky)
     ef = ex - sh
 
-    hi, lo = _round_pack(sx, ef, r1f, r0f, rEf, stf)
+    s, e, l1, l0 = _round_norm(sx, ef, r1f, r0f, rEf, stf)
 
     # zero result: +0 for exact cancellation and (+0)+(-0); -0 only for
     # (-0)+(-0) — sa & sb covers all three (cancellation has sa != sb).
-    hi = jnp.where(zero_res, (sa & sb) << 31, hi)
-    lo = jnp.where(zero_res, _u(0), lo)
-    return hi, lo
+    s = jnp.where(zero_res, sa & sb, s)
+    e = jnp.where(zero_res, _i(0), e)
+    l1 = jnp.where(zero_res, _u(0), l1)
+    l0 = jnp.where(zero_res, _u(0), l0)
+    return s, e, l1, l0
+
+
+def add(ah, al, bh, bl):
+    """Correctly-rounded binary64 a + b on packed uint32 pairs."""
+    return pack_norm(*add_u(*unpack(ah, al), *unpack(bh, bl)))
 
 
 def neg(hi, lo):
     return _u(hi) ^ _u(0x80000000), _u(lo)
+
+
+def neg_u(s, e, l1, l0):
+    return s ^ _u(1), e, l1, l0
+
+
+def sub_u(sa, ea, a1, a0, sb, eb, b1, b0):
+    return add_u(sa, ea, a1, a0, sb ^ _u(1), eb, b1, b0)
 
 
 def sub(ah, al, bh, bl):
@@ -263,6 +308,31 @@ def _limb_mul(a, b, out_len):
             p = a[i_] * b[j_]
             k = i_ + j_
             cols[k] = p if cols[k] is None else cols[k] + p
+    out = []
+    cur = _u(jnp.zeros_like(a[0]))
+    for k in range(out_len):
+        if k < len(cols):
+            cur = cur + cols[k]
+        out.append(cur & _u(_M14))
+        cur = cur >> 14
+    return out
+
+
+def _limb_sqr(a, out_len):
+    """Exact square of a limb integer: symmetric partial products — 10
+    multiplies instead of 16 for 4 limbs (cross terms doubled with a
+    shift). Same exact integer as _limb_mul(a, a, out_len): column sums
+    stay < 2^31 (worst column: 2 doubled cross products + a diagonal
+    < 2^29 + 2^29 + 2^28)."""
+    cols = [None] * (2 * len(a) - 1)
+
+    def acc(k, p):
+        cols[k] = p if cols[k] is None else cols[k] + p
+
+    for i_ in range(len(a)):
+        acc(2 * i_, a[i_] * a[i_])
+        for j_ in range(i_ + 1, len(a)):
+            acc(i_ + j_, (a[i_] * a[j_]) << 1)
     out = []
     cur = _u(jnp.zeros_like(a[0]))
     for k in range(out_len):
@@ -349,14 +419,10 @@ def _limb_signed_f32(a):
 # mul
 # ---------------------------------------------------------------------------
 
-def mul(ah, al, bh, bl):
-    """Correctly-rounded binary64 a * b on packed uint32 pairs."""
-    sa, ea, a1, a0 = unpack(ah, al)
-    sb, eb, b1, b0 = unpack(bh, bl)
-    s = sa ^ sb
-    zero = (ea == 0) | (eb == 0)
-
-    d = _limb_mul(_limbs14(a1, a0), _limbs14(b1, b0), 8)
+def _mul_tail(s, e, d, zero):
+    """Shared rounding tail of mul_u/sqr_u: d = 8 x 14-bit limbs of the
+    exact 106-bit significand product; e = candidate exponent before the
+    top-bit adjustment."""
     # 28-bit words of the exact 106-bit product (14-bit digits pair up)
     w0 = d[0] | (d[1] << 14)
     w1 = d[2] | (d[3] << 14)
@@ -375,25 +441,55 @@ def mul(ah, al, bh, bl):
     x0 = extract(0)
     x1 = extract(1)
     pick = lambda a_, b_: jnp.where(top != 0, a_, b_)
-    e = ea + eb - _i(1023) + _i(top)
-    hi, lo = _round_pack(s, e, pick(x0[0], x1[0]), pick(x0[1], x1[1]),
-                         pick(x0[2], x1[2]), pick(x0[3], x1[3]))
-    hi = jnp.where(zero, s << 31, hi)
-    lo = jnp.where(zero, _u(0), lo)
-    return hi, lo
+    e = e + _i(top)
+    s, e, l1, l0 = _round_norm(s, e, pick(x0[0], x1[0]), pick(x0[1], x1[1]),
+                               pick(x0[2], x1[2]), pick(x0[3], x1[3]))
+    e = jnp.where(zero, _i(0), e)
+    l1 = jnp.where(zero, _u(0), l1)
+    l0 = jnp.where(zero, _u(0), l0)
+    return s, e, l1, l0
+
+
+def mul_u(sa, ea, a1, a0, sb, eb, b1, b0):
+    """Correctly-rounded binary64 a * b on normalized unpacked quads."""
+    s = sa ^ sb
+    zero = (ea == 0) | (eb == 0)
+    d = _limb_mul(_limbs14(a1, a0), _limbs14(b1, b0), 8)
+    return _mul_tail(s, ea + eb - _i(1023), d, zero)
+
+
+def sqr_u(sa, ea, a1, a0):
+    """Correctly-rounded binary64 a * a: identical bits to
+    mul_u(a, a) — the symmetric limb product halves the partial-product
+    count (exact integers either way)."""
+    zero = ea == 0
+    d = _limb_sqr(_limbs14(a1, a0), 8)
+    return _mul_tail(jnp.zeros_like(sa), ea + ea - _i(1023), d, zero)
+
+
+def mul(ah, al, bh, bl):
+    """Correctly-rounded binary64 a * b on packed uint32 pairs."""
+    return pack_norm(*mul_u(*unpack(ah, al), *unpack(bh, bl)))
 
 
 # ---------------------------------------------------------------------------
 # div
 # ---------------------------------------------------------------------------
 
-def div(ah, al, bh, bl):
-    """Correctly-rounded binary64 a / b on packed uint32 pairs.
+def _div_prep(b1, b0):
+    """Divisor-only preparation, shared across dividends dividing by the
+    SAME divisor (the force kernel's three axis terms / d3) and across the
+    digit iterations: limb decomposition, float32 reciprocal seed, and the
+    6-limb two's-complement of -B for the combined fix pass."""
+    bm = _limbs14(b1, b0)
+    rb = F32(1.0) / _limb_f32(bm)
+    z = _u(jnp.zeros_like(b1))
+    nbm = _limb_neg(bm + [z, z])         # -B over the 6-limb modulus
+    return bm, rb, nbm
 
-    b must be a nonzero normal (the solver divides only by dist3 > 0);
-    a may be zero."""
-    sa, ea, a1, a0 = unpack(ah, al)
-    sb, eb, b1, b0 = unpack(bh, bl)
+
+def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
+    """Quotient of one dividend against a prepared divisor (see div_u)."""
     s = sa ^ sb
     zero = ea == 0
 
@@ -403,8 +499,6 @@ def div(ah, al, bh, bl):
     a0 = jnp.where(a_lt, (a0 << 1) & _u(_M28), a0)
     e = ea - eb + _i(1023) - _i(a_lt)
 
-    bm = _limbs14(b1, b0)
-    rb = F32(1.0) / _limb_f32(bm)
     z = _u(jnp.zeros_like(a1))
     rem = _limbs14(a1, a0) + [z, z]      # 6 limbs: value < 2^54
 
@@ -415,21 +509,22 @@ def div(ah, al, bh, bl):
         q = (_limb_f32(rem) * rb).astype(U32)
         q = jnp.minimum(q, _u((1 << 18) + 3))
         rem = _limb_sub(rem, _limb_mul([q & _u(_M14), q >> 14], bm, 6))
-        # correct the estimate: bring rem into [0, B). ONE round each way
-        # suffices: remf, rb, and their product each carry <= 2^-24
-        # relative error, so the estimated ratio (<= 2^18) is within 2^-4
-        # of the true ratio before truncation — the truncated digit is
-        # within {-1, 0, +1} of floor(rem/B) STRICTLY. (2+2 rounds were
-        # ~25% of the whole pair cost; fuzz confirms 1+1 — 0 mismatches.)
+        # correct the estimate: bring rem into [0, B). remf, rb, and their
+        # product each carry <= 2^-24 relative error, so the estimated
+        # ratio (<= 2^18) is within 2^-4 of the true ratio before
+        # truncation — the truncated digit is within {-1, 0, +1} of
+        # floor(rem/B) STRICTLY, i.e. rem is in (-B, 2B). The two cases
+        # are mutually exclusive, so ONE combined pass fixes both: add B
+        # when negative, add -B when >= B (fuzz confirms — 0 mismatches;
+        # the two sequential rounds this replaces were ~10% of the whole
+        # pair cost).
         neg_ = _limb_is_neg(rem)
-        rem_fix = _limb_add(rem, bm)
-        q = q - neg_.astype(U32)
-        rem = [jnp.where(neg_, f, r_) for f, r_ in zip(rem_fix, rem)]
         gt, eq = _limb_cmp(rem, bm)
-        ge = gt | eq
-        rem_fix = _limb_sub(rem, bm)
-        q = q + ge.astype(U32)
-        rem = [jnp.where(ge, f, r_) for f, r_ in zip(rem_fix, rem)]
+        ge = ~neg_ & (gt | eq)
+        q = q - neg_.astype(U32) + ge.astype(U32)
+        fix = [jnp.where(neg_, b_, jnp.where(ge, nb_, z))
+               for b_, nb_ in zip(bm + [z, z], nbm)]
+        rem = _limb_add(rem, fix)
         digits.append(q)
 
     d0, d1, d2 = digits                  # d0 in [2^16, 2^17)
@@ -440,19 +535,37 @@ def div(ah, al, bh, bl):
     gt, eq = _limb_cmp(two_rem, bm)
     grd = jnp.where(gt, _u(_HALF28 + 1),
                     jnp.where(eq, _u(_HALF28), _u(0)))
-    hi, lo = _round_pack(s, e, l1q, l0q, grd, jnp.zeros_like(gt))
-    hi = jnp.where(zero, s << 31, hi)
-    lo = jnp.where(zero, _u(0), lo)
-    return hi, lo
+    s, e, l1, l0 = _round_norm(s, e, l1q, l0q, grd, jnp.zeros_like(gt))
+    e = jnp.where(zero, _i(0), e)
+    l1 = jnp.where(zero, _u(0), l1)
+    l0 = jnp.where(zero, _u(0), l0)
+    return s, e, l1, l0
+
+
+def div_u(sa, ea, a1, a0, sb, eb, b1, b0):
+    """Correctly-rounded binary64 a / b on normalized unpacked quads.
+
+    b must be a nonzero normal (the solver divides only by dist3 > 0);
+    a may be zero."""
+    bm, rb, nbm = _div_prep(b1, b0)
+    return _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm)
+
+
+def div(ah, al, bh, bl):
+    """Correctly-rounded binary64 a / b on packed uint32 pairs.
+
+    b must be a nonzero normal (the solver divides only by dist3 > 0);
+    a may be zero."""
+    return pack_norm(*div_u(*unpack(ah, al), *unpack(bh, bl)))
 
 
 # ---------------------------------------------------------------------------
 # sqrt
 # ---------------------------------------------------------------------------
 
-def sqrt(ah, al):
-    """Correctly-rounded binary64 sqrt(a), a >= 0 (a = 0 -> 0)."""
-    sa, ea, a1, a0 = unpack(ah, al)
+def sqrt_u(sa, ea, a1, a0):
+    """Correctly-rounded binary64 sqrt(a), a >= 0 (a = 0 -> 0), on
+    normalized unpacked quads."""
     zero = ea == 0
 
     # value = S * 2^u, S in [2^52, 2^53), u = ea - 1075. Make u even.
@@ -481,7 +594,7 @@ def sqrt(ah, al):
 
     # two correction rounds: R += round((N - R^2) / (2R))
     for _ in range(2):
-        c = _limb_sub(N, _limb_mul(R, R, 8))
+        c = _limb_sub(N, _limb_sqr(R, 8))
         cf = _limb_signed_f32(c)
         dcorr = cf * half_rf_inv         # |d| shrinks 2^31 -> 2^9 -> ~1
         dneg = dcorr < 0
@@ -496,7 +609,7 @@ def sqrt(ah, al):
     # (round-2 residual <= 2^10 with a 2^-22-relative f32 quotient, plus
     # truncation), so two fix-up rounds each way cover it; fuzz at 2.4M
     # cases confirms.
-    c = _limb_sub(N, _limb_mul(R, R, 8))
+    c = _limb_sub(N, _limb_sqr(R, 8))
     one = [_u(jnp.ones_like(a1))] + [z] * 3
     for _ in range(2):
         neg_ = _limb_is_neg(c)
@@ -520,12 +633,18 @@ def sqrt(ah, al):
     l0r = R[0] | (R[1] << 14)
     l1r = R[2] | (R[3] << 14)
     grd = jnp.where(gt, _u(_HALF28 + 1), _u(0))
-    hi, lo = _round_pack(_u(jnp.zeros_like(ah)), e_res,
-                         l1r & _u((1 << 25) - 1), l0r & _u(_M28),
-                         grd, jnp.zeros_like(gt))
-    hi = jnp.where(zero, _u(0), hi)
-    lo = jnp.where(zero, _u(0), lo)
-    return hi, lo
+    s, e, l1, l0 = _round_norm(_u(jnp.zeros_like(sa)), e_res,
+                               l1r & _u((1 << 25) - 1), l0r & _u(_M28),
+                               grd, jnp.zeros_like(gt))
+    e = jnp.where(zero, _i(0), e)
+    l1 = jnp.where(zero, _u(0), l1)
+    l0 = jnp.where(zero, _u(0), l0)
+    return s, e, l1, l0
+
+
+def sqrt(ah, al):
+    """Correctly-rounded binary64 sqrt(a), a >= 0 (a = 0 -> 0)."""
+    return pack_norm(*sqrt_u(*unpack(ah, al)))
 
 
 # ---------------------------------------------------------------------------

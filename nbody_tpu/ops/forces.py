@@ -235,7 +235,8 @@ def pairwise_accel_blocked(q, m_eff, *, G: float, eps: float,
 
 
 def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
-                       fold: str = "serial", j_tile: int | None = None):
+                       fold: str = "serial", j_tile: int | None = None,
+                       rows=None):
     """BIT-EXACT binary64 accelerations via the integer softfloat
     (ops/f64emu) — the answer-grade 'e64' TPU path.
 
@@ -262,7 +263,14 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
     deterministic and correctly rounded per op, but not the spec's
     accumulation order (throughput experiments only).
 
-    q: E64 (..., n, 3); m_eff: E64 (..., n). Returns E64 (..., n, 3).
+    rows: optional E64 (..., r, 3) — compute accelerations only for these
+    i-side positions (q/m_eff stay the j side). The per-row fold is
+    row-independent, so splitting rows across calls (or mesh shards, the
+    e64 multi-chip path in parallel/solver_sharded) reproduces the full
+    computation bit-for-bit.
+
+    q: E64 (..., n, 3); m_eff: E64 (..., n). Returns E64 over rows
+    (default: all of q).
     """
     from . import f64emu as fe
     E64 = fe.E64
@@ -299,19 +307,37 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
     mth = tile(mh, 0)
     mtl = tile(ml, 0)
 
-    eps2 = fe.const_e(float(eps) * float(eps))
-    Gc = fe.const_e(float(G))
-    qi = [q[..., k][..., :, None] for k in range(3)]       # (..., n, 1)
+    # The whole per-pair chain runs in the UNPACKED softfloat domain
+    # (fe.add_u/sqr_u/mul_u/_div_core on normalized (s, e, L1, L0) quads):
+    # identical bits to the packed ops by construction (fe._round_norm
+    # docstring), minus the pack/unpack bit twiddling between consecutive
+    # ops. The three axis divisions share one divisor preparation
+    # (fe._div_prep — same d3), and squares use the symmetric limb
+    # product. The accumulator rides the tile scan as an unpacked quad.
+    eps2_u = fe.unpack(*(jnp.asarray(x) for x in
+                         fe.from_f64(float(eps) * float(eps))))
+    Gc_u = fe.unpack(*(jnp.asarray(x) for x in fe.from_f64(float(G))))
+    qi = rows if rows is not None else q
+    qi_u = [fe.unpack(qi.hi[..., k][..., :, None],
+                      qi.lo[..., k][..., :, None]) for k in range(3)]
 
-    def tile_terms(qt, mt):
-        qj = [qt[..., k][..., None, :] for k in range(3)]  # (..., 1, T)
-        dq = [qj[k] - qi[k] for k in range(3)]             # (..., n, T)
-        d2 = ((dq[0] * dq[0] + dq[1] * dq[1]) + dq[2] * dq[2]) + eps2
-        d3 = d2 * fe.sqrt_e(d2)
-        gmj = (Gc * mt)[..., None, :]
-        return [(gmj * dq[k]) / d3 for k in range(3)]
+    def tile_terms(qth_, qtl_, mth_, mtl_):
+        qj = [fe.unpack(qth_[..., k][..., None, :],
+                        qtl_[..., k][..., None, :]) for k in range(3)]
+        dq = [fe.add_u(*qj[k], *fe.neg_u(*qi_u[k])) for k in range(3)]
+        d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
+                                          *fe.sqr_u(*dq[1])),
+                                *fe.sqr_u(*dq[2])),
+                      *eps2_u)
+        d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))
+        bm, rb, nbm = fe._div_prep(d3[2], d3[3])
+        mt_u = fe.unpack(mth_, mtl_)
+        g = fe.mul_u(*Gc_u, *mt_u)
+        gmj = tuple(x[..., None, :] for x in g)
+        return [fe._div_core(*fe.mul_u(*gmj, *dq[k]), *d3, bm, rb, nbm)
+                for k in range(3)]
 
-    def fold_serial(terms, init):
+    def fold_serial(terms, acc):
         # continue the spec's running accumulation THROUGH the tile:
         # acc = (((init + t0) + t1) + ...) — starting from zero and adding
         # the partial afterwards would be a different rounding sequence.
@@ -322,43 +348,42 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
         # fold inlined inside the outer tile scan compiles in ~11 s.
         # (Per-iteration while-loop overhead ~20 us also made a
         # length-n scan fold dominate the n=4096 force eval.)
-        t3h = jnp.stack([t.hi for t in terms], axis=-1)   # (..., n, T, 3)
-        t3l = jnp.stack([t.lo for t in terms], axis=-1)
-        acc = init
-        for j in range(t3h.shape[-2]):
-            acc = acc + E64(t3h[..., j, :], t3l[..., j, :])
+        t3 = [jnp.stack([t[c] for t in terms], axis=-1)
+              for c in range(4)]                          # (..., n, T, 3)
+        for j in range(t3[0].shape[-2]):
+            acc = fe.add_u(*acc, *(x[..., j, :] for x in t3))
         return acc
 
-    def fold_tree(terms, init):
-        t3h = jnp.stack([t.hi for t in terms], axis=-1)   # (..., n, T, 3)
-        t3l = jnp.stack([t.lo for t in terms], axis=-1)
-        m = t3h.shape[-2]
+    def fold_tree(terms, acc):
+        t3 = [jnp.stack([t[c] for t in terms], axis=-1)   # (..., n, T, 3)
+              for c in range(4)]
+        m = t3[0].shape[-2]
         p = 1
         while p < m:
             p *= 2
         if p != m:
-            pad = [(0, 0)] * (t3h.ndim - 2) + [(0, p - m), (0, 0)]
-            t3h = jnp.pad(t3h, pad)
-            t3l = jnp.pad(t3l, pad)
-        cur = E64(t3h, t3l)
-        while cur.shape[-2] > 1:
-            h = cur.shape[-2] // 2
-            cur = cur[..., :h, :] + cur[..., h:2 * h, :]
-        return init + cur[..., 0, :]
+            pad = [(0, 0)] * (t3[0].ndim - 2) + [(0, p - m), (0, 0)]
+            t3 = [jnp.pad(x, pad) for x in t3]
+        cur = tuple(t3)
+        while cur[0].shape[-2] > 1:
+            h = cur[0].shape[-2] // 2
+            cur = fe.add_u(*(x[..., :h, :] for x in cur),
+                           *(x[..., h:2 * h, :] for x in cur))
+        return fe.add_u(*acc, *(x[..., 0, :] for x in cur))
 
     folder = fold_serial if fold == "serial" else fold_tree
 
     def one_tile(acc, xs):
         th, tl, mh_, ml_ = xs
-        terms = tile_terms(E64(th, tl), E64(mh_, ml_))
-        return folder(terms, acc), None
+        return folder(tile_terms(th, tl, mh_, ml_), acc), None
 
-    acc0 = fe.zeros_e(q.shape)
+    zq = jnp.zeros(qi.shape, jnp.uint32)
+    acc0 = (zq, jnp.zeros(qi.shape, jnp.int32), zq, zq)
     if nb == 1:
-        out, _ = one_tile(acc0, (qth[0], qtl[0], mth[0], mtl[0]))
-        return out
-    acc, _ = lax.scan(one_tile, acc0, (qth, qtl, mth, mtl))
-    return acc
+        acc, _ = one_tile(acc0, (qth[0], qtl[0], mth[0], mtl[0]))
+    else:
+        acc, _ = lax.scan(one_tile, acc0, (qth, qtl, mth, mtl))
+    return E64(*fe.pack_norm(*acc))
 
 
 def pairwise_accel_fast(q, m_eff, *, G: float, eps: float):

@@ -378,6 +378,176 @@ def _sharded_fingerprint(scene, cfg, dtype, fast, tile) -> str:
     return _solver_fingerprint(scene, cfg, dtype, fast) + f":tile={tile}"
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "dt", "eps", "G", "planet_radius",
+                     "missile_speed", "planet", "asteroid"))
+def _p12_chunk_sharded_e64(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s,
+                           m_half, dev_idx, fst_chunk, t0, *, mesh: Mesh,
+                           n_steps, dt, eps, G, planet_radius,
+                           missile_speed, planet, asteroid):
+    """BIT-EXACT binary64 (e64 softfloat) P1/P2 chunk on the mesh — the
+    multi-chip twin of models/direct_sum._p12_chunk's E64 branch
+    (hw5.cu:564-588's 2-GPU graded distribution, answer-grade).
+
+    Sharding design: the graded scenes are tiny (n <= 1024 padded), so the
+    state stays REPLICATED over 'body' and only the O(n^2) force work is
+    split — each shard folds its i-row block against the full j axis with
+    the spec's serial order (row folds are row-independent,
+    ops/forces.pairwise_accel_e64 `rows=`), and one all_gather of the
+    (n/k, 3) acceleration block reassembles the full field. Answers are
+    bit-identical to the single-device path and across mesh shapes BY
+    CONSTRUCTION — no tile caveat (unlike the f64 ring's partial-sum
+    combination, the serial fold never re-associates)."""
+    from ..models.direct_sum import _sq_dist
+    from ..ops import f64emu as fe
+    from ..ops.f64emu import E64
+
+    def local_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half,
+                    dev_idx, fst_chunk, t0):
+        k = lax.axis_size("body")
+        me = lax.axis_index("body")
+        n = q.hi.shape[-2]
+        ni = n // k
+        r2 = fe.const_e(float(planet_radius) * float(planet_radius))
+        sdt = fe.const_e(float(missile_speed) * float(dt))
+        dtc = fe.const_e(float(dt))
+        offs = jnp.arange(1, fst_chunk.hi.shape[0] + 1, dtype=jnp.int32)
+        xs = (t0.astype(jnp.int32) + offs, fst_chunk.hi, fst_chunk.lo)
+
+        def scen_step(q1, v1, min1, hit1, arr1, qs1, vs1, m0_1, mh_1, t,
+                      fst_t):
+            in_range = t <= jnp.int32(n_steps)
+            m_eff = m0_1 + mh_1 * fst_t                   # E64 ops
+            rows = E64(
+                lax.dynamic_slice_in_dim(q1.hi, me * ni, ni, axis=0),
+                lax.dynamic_slice_in_dim(q1.lo, me * ni, ni, axis=0))
+            a_rows = pairwise_accel_e64(q1, m_eff, G=G, eps=eps, rows=rows)
+            a = E64(lax.all_gather(a_rows.hi, "body", axis=0, tiled=True),
+                    lax.all_gather(a_rows.lo, "body", axis=0, tiled=True))
+            v2 = v1 + a * dtc
+            q2 = q1 + v2 * dtc
+            q1 = fe.where_e(in_range, q2, q1)
+            v1 = fe.where_e(in_range, v2, v1)
+            d2_pa = _sq_dist(q1[planet], q1[asteroid])
+            min1 = fe.where_e(in_range, fe.minimum_e(min1, d2_pa), min1)
+            d2_pd = _sq_dist(q1[planet], q1[dev_idx])     # (D,)
+            md = sdt * E64(*fe.from_i32(t))
+            md2 = md * md
+            arrived = (arr1 == -2) & (d2_pd < md2) & in_range
+            arr1 = jnp.where(arrived, t, arr1)
+            sel = arrived[:, None, None]
+            qs1 = fe.where_e(sel, E64(q1.hi[None], q1.lo[None]), qs1)
+            vs1 = fe.where_e(sel, E64(v1.hi[None], v1.lo[None]), vs1)
+            hit1 = jnp.where((hit1 == -2) & (d2_pa < r2) & in_range, t,
+                             hit1)
+            return q1, v1, min1, hit1, arr1, qs1, vs1
+
+        def body(carry, x):
+            q, v, min_d2, hit, arr, q_snap, v_snap = carry
+            t, fh, fl = x
+            out = jax.vmap(
+                scen_step,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+            )(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, t,
+              E64(fh, fl))
+            return out, None
+
+        carry = (q, v, min_d2, hit, arr, q_snap, v_snap)
+        carry, _ = lax.scan(body, carry, xs)
+        return carry
+
+    srep = P("scen")                     # scen-sharded, body-replicated
+    specs = (P("scen", None, None), P("scen", None, None), srep, srep,
+             P("scen", None), P("scen", None, None, None),
+             P("scen", None, None, None))
+    fn = jax.shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=specs + (P("scen", None), P("scen", None), P(None), P(None),
+                          P()),
+        out_specs=specs)
+    return fn(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half,
+              dev_idx, fst_chunk, t0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_steps", "dt", "eps", "G", "planet_radius",
+                     "planet", "asteroid", "chunk_steps"))
+def _p3_chunks_sharded_e64(q, v, hit_flag, undecided_any, c_start, c_limit,
+                           arrivals, eligible, m0_scen, m_half_scen, fst, *,
+                           mesh: Mesh, n_steps, dt, eps, G, planet_radius,
+                           planet, asteroid, chunk_steps):
+    """e64 twin of _p3_chunks_sharded: scenarios over 'scen', the force
+    row-split over 'body' with replicated state (see
+    _p12_chunk_sharded_e64)."""
+    from ..models.direct_sum import _sq_dist
+    from ..ops import f64emu as fe
+    from ..ops.f64emu import E64
+
+    def local_chunks(q, v, hit_flag, undecided_any, c_start, c_limit,
+                     arrivals, eligible, m0_scen, m_half_scen, fst):
+        k = lax.axis_size("body")
+        me = lax.axis_index("body")
+        n = q.hi.shape[-2]
+        ni = n // k
+        r2 = fe.const_e(float(planet_radius) * float(planet_radius))
+        dtc = fe.const_e(float(dt))
+        cs = int(chunk_steps)
+
+        def scen_step(q1, v1, hit1, arr1, m0_1, mh_1, t):
+            active = (t > arr1) & (t <= jnp.int32(n_steps))
+            ti = jnp.minimum(t, jnp.int32(n_steps))
+            m_eff = m0_1 + mh_1 * E64(fst.hi[ti], fst.lo[ti])
+            rows = E64(
+                lax.dynamic_slice_in_dim(q1.hi, me * ni, ni, axis=0),
+                lax.dynamic_slice_in_dim(q1.lo, me * ni, ni, axis=0))
+            a_rows = pairwise_accel_e64(q1, m_eff, G=G, eps=eps, rows=rows)
+            a = E64(lax.all_gather(a_rows.hi, "body", axis=0, tiled=True),
+                    lax.all_gather(a_rows.lo, "body", axis=0, tiled=True))
+            v2 = v1 + a * dtc
+            q2 = q1 + v2 * dtc
+            q1 = fe.where_e(active, q2, q1)
+            v1 = fe.where_e(active, v2, v1)
+            d2_pa = _sq_dist(q1[planet], q1[asteroid])
+            hit1 = hit1 | (active & (d2_pa < r2))
+            return q1, v1, hit1
+
+        def step_body(t, carry):
+            q, v, hit_flag = carry
+            t = t.astype(jnp.int32)
+            return jax.vmap(scen_step, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                q, v, hit_flag, arrivals, m0_scen, m_half_scen, t)
+
+        def chunk_body(carry):
+            c, q, v, hit_flag, _ = carry
+            t0 = c * cs + 1
+            q, v, hit_flag = lax.fori_loop(t0, t0 + cs, step_body,
+                                           (q, v, hit_flag))
+            undec = eligible & ~hit_flag
+            any_undec = lax.psum(jnp.sum(undec.astype(jnp.int32)),
+                                 "scen") > 0
+            return c + 1, q, v, hit_flag, any_undec
+
+        def chunk_cond(carry):
+            c, _, _, _, any_undec = carry
+            return (c < c_limit) & any_undec
+
+        init = (c_start.astype(jnp.int32), q, v, hit_flag, undecided_any)
+        c, q, v, hit_flag, _ = lax.while_loop(chunk_cond, chunk_body, init)
+        return c, q, v, hit_flag
+
+    fn = jax.shard_map(
+        local_chunks, mesh=mesh,
+        in_specs=(P("scen", None, None), P("scen", None, None), P("scen"),
+                  P(), P(), P(), P("scen"), P("scen"), P("scen", None),
+                  P("scen", None), P(None)),
+        out_specs=(P(), P("scen", None, None), P("scen", None, None),
+                   P("scen")))
+    return fn(q, v, hit_flag, undecided_any, c_start, c_limit, arrivals,
+              eligible, m0_scen, m_half_scen, fst)
+
+
 def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                             dtype=np.float64, fast: bool = False,
                             tile: int | None = None,

@@ -138,3 +138,53 @@ def test_roundtrip_conversion(rng):
     hi, lo = fe.from_f64(a)
     np.testing.assert_array_equal(fe.to_f64(hi, lo).view(np.uint64),
                                   a.view(np.uint64))
+
+
+def test_sqr_matches_mul(rng):
+    """sqr_u (symmetric limb product) must be bit-identical to mul(a, a)
+    for every input class, including squares that overflow/flush."""
+    a = rand_f64(rng, N, 300)
+    a = np.where(rng.random(N) < 0.1, 0.0, a)
+    ah, al = fe.from_f64(a)
+    sq = jax.jit(lambda h, l: fe.pack_norm(*fe.sqr_u(*fe.unpack(h, l))))
+    rh, rl = sq(jnp.asarray(ah), jnp.asarray(al))
+    mh, ml = jax.jit(fe.mul)(jnp.asarray(ah), jnp.asarray(al),
+                             jnp.asarray(ah), jnp.asarray(al))
+    np.testing.assert_array_equal(np.asarray(rh), np.asarray(mh))
+    np.testing.assert_array_equal(np.asarray(rl), np.asarray(ml))
+
+
+def test_unpacked_chain_matches_packed(rng):
+    """A chained unpacked computation (the force kernel's pattern) must be
+    bit-identical to the packed op sequence: pack/unpack elision is a
+    pure representation change."""
+    a = rand_f64(rng, N, 100)
+    b = rand_f64(rng, N, 100)
+    c = np.abs(rand_f64(rng, N, 100))
+    ah, al = fe.from_f64(a)
+    bh, bl = fe.from_f64(b)
+    ch, cl = fe.from_f64(c)
+
+    def chain_u(ah, al, bh, bl, ch, cl):
+        au, bu, cu = fe.unpack(ah, al), fe.unpack(bh, bl), fe.unpack(ch, cl)
+        d = fe.add_u(*au, *fe.neg_u(*bu))            # a - b
+        d2 = fe.add_u(*fe.sqr_u(*d), *cu)            # (a-b)^2 + c
+        d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))          # d2 * sqrt(d2)
+        bm, rb, nbm = fe._div_prep(d3[2], d3[3])
+        t = fe._div_core(*fe.mul_u(*au, *d), *d3, bm, rb, nbm)
+        return fe.pack_norm(*t)
+
+    def chain_p(ah, al, bh, bl, ch, cl):
+        dh, dl = fe.sub(ah, al, bh, bl)
+        sh_, sl_ = fe.mul(dh, dl, dh, dl)
+        d2h, d2l = fe.add(sh_, sl_, ch, cl)
+        rth, rtl = fe.sqrt(d2h, d2l)
+        d3h, d3l = fe.mul(d2h, d2l, rth, rtl)
+        nh, nl = fe.mul(ah, al, dh, dl)
+        return fe.div(nh, nl, d3h, d3l)
+
+    args = tuple(jnp.asarray(x) for x in (ah, al, bh, bl, ch, cl))
+    ru = jax.jit(chain_u)(*args)
+    rp = jax.jit(chain_p)(*args)
+    np.testing.assert_array_equal(np.asarray(ru[0]), np.asarray(rp[0]))
+    np.testing.assert_array_equal(np.asarray(ru[1]), np.asarray(rp[1]))
