@@ -42,7 +42,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="persist/resume the Problem-1/2 solver state at "
                         "PATH (preemption-safe; resume is bit-exact)")
+    p.add_argument("--mesh", default=None, metavar="scen=S,body=B",
+                   help="route the solve through the mesh-sharded drivers "
+                        "on a ('scen','body') device mesh — the multi-chip "
+                        "analog of the reference's 2-GPU distribution "
+                        "(hw5.cu:532-615). S*B must not exceed the device "
+                        "count; one size may be -1 (inferred). Example: "
+                        "--mesh scen=2,body=-1")
+    p.add_argument("--tile", type=int, default=None,
+                   help="force-accumulation j-tile for the mesh path; the "
+                        "same explicit tile gives bit-identical answers "
+                        "across mesh shapes (ignored without --mesh)")
     return p
+
+
+def parse_mesh_spec(spec: str):
+    """'scen=S,body=B' -> {'scen': S, 'body': B} (order preserved)."""
+    axes = {}
+    for part in spec.split(","):
+        if "=" not in part:
+            raise ValueError(
+                f"--mesh expects comma-separated axis=size pairs "
+                f"(e.g. scen=2,body=4); got {spec!r}")
+        name, _, size = part.partition("=")
+        name = name.strip()
+        if name not in ("scen", "body"):
+            raise ValueError(
+                f"--mesh axis must be 'scen' or 'body'; got {name!r}")
+        if name in axes:
+            raise ValueError(f"--mesh axis {name!r} given twice")
+        axes[name] = int(size)
+    for name in ("scen", "body"):
+        axes.setdefault(name, 1)
+    return axes
 
 
 def main(argv=None) -> int:
@@ -64,13 +96,22 @@ def main(argv=None) -> int:
 
     from .utils.profiling import PhaseTimers, pair_interactions
 
+    mesh = None
+    if args.mesh is not None:
+        if args.precision == "exact":
+            raise SystemExit("--mesh does not apply to the native serial "
+                             "core (precision 'exact')")
+        from .parallel import make_mesh
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
+
     timers = PhaseTimers()
     t0 = time.perf_counter()
     with timers.phase("read_input"):
         scene = read_input(args.input)
     ans = solve_scene(scene, cfg, precision=args.precision,
                       platform=args.platform, timers=timers,
-                      checkpoint_path=args.checkpoint)
+                      checkpoint_path=args.checkpoint,
+                      mesh=mesh, tile=args.tile)
     with timers.phase("write_output"):
         write_output(args.output, *ans.as_tuple())
     elapsed = time.perf_counter() - t0

@@ -35,7 +35,23 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--dist3-mode", default=None,
                     choices=["pow", "dsqrt", "sqrt3"])
+    ap.add_argument("--mesh", default=None, metavar="scen=S,body=B",
+                    help="run through the mesh-sharded drivers (CLI --mesh "
+                         "syntax); e.g. JAX_PLATFORMS=cpu XLA_FLAGS=--xla_"
+                         "force_host_platform_device_count=8 for a virtual "
+                         "CPU mesh")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="mesh force j-tile (see CLI --tile)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="pin the JAX platform before backend init (the "
+                         "harness env force-pins JAX_PLATFORMS, so a plain "
+                         "env override does not stick; needed for --mesh "
+                         "runs on the virtual CPU device grid)")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import dataclasses
 
@@ -45,6 +61,12 @@ def main():
     cfg = SimConfig()
     if args.dist3_mode:
         cfg = dataclasses.replace(cfg, dist3_mode=args.dist3_mode)
+
+    mesh = None
+    if args.mesh is not None:
+        from nbody_tpu.cli import parse_mesh_spec
+        from nbody_tpu.parallel import make_mesh
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
 
     results = []
     for case in args.cases.split(","):
@@ -56,7 +78,8 @@ def main():
         g_min, g_hit, g_dev, g_cost = parse_output(gold_text)
 
         t0 = time.perf_counter()
-        ans = solve_scene(scene, cfg, precision=args.precision)
+        ans = solve_scene(scene, cfg, precision=args.precision,
+                          mesh=mesh, tile=args.tile)
         wall = time.perf_counter() - t0
 
         ours = format_output(*ans.as_tuple())
@@ -66,6 +89,8 @@ def main():
         rec = {
             "case": case, "n": scene.n, "precision": args.precision,
             "dist3_mode": cfg.resolved_dist3(args.precision),
+            **({"mesh": args.mesh, "tile": args.tile}
+               if args.mesh is not None else {}),
             "wall_s": round(wall, 2),
             "byte_equal": byte_equal,
             "min_dist_rel_err": rel_min,
@@ -83,6 +108,8 @@ def main():
     n_dev = sum(r["p3_dev_match"] for r in results)
     summary = {
         "precision": args.precision, "cases": len(results),
+        **({"mesh": args.mesh, "tile": args.tile}
+           if args.mesh is not None else {}),
         "byte_equal": n_byte, "hit_step_match": n_hit,
         "p3_dev_match": n_dev,
         "max_min_dist_rel_err": max(r["min_dist_rel_err"] for r in results),

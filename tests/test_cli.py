@@ -49,3 +49,44 @@ def test_full_b20_byte_golden(tmp_path):
     assert r.returncode == 0, r.stderr
     with open(out) as f, open("/root/reference/testcases/b20.out") as g:
         assert f.read() == g.read()
+
+
+def test_cli_mesh_routes_sharded(tmp_path):
+    """--mesh routes through the sharded drivers on a virtual device grid
+    and reproduces the plain-path answers (short horizon)."""
+    plain = str(tmp_path / "plain.out")
+    r = _run([B20, plain, "--n-steps", "50"])
+    assert r.returncode == 0, r.stderr
+
+    out = str(tmp_path / "mesh.out")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "nbody_tpu", B20, out, "--n-steps", "50",
+         "--mesh", "scen=2,body=-1", "--tile", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr
+    # same discrete answers; min_dist agrees to reduction-order tolerance
+    # (the mesh path folds j in tiles, the plain path in one flat reduce)
+    pl = open(plain).read().split("\n")
+    me = open(out).read().split("\n")
+    assert pl[1] == me[1]                       # hit step line, exact
+    assert pl[2] == me[2]                       # device/cost line, exact
+    a, b = float(pl[0]), float(me[0])
+    assert abs(a - b) <= 1e-12 * abs(a)
+
+
+def test_cli_mesh_spec_errors():
+    from nbody_tpu.cli import parse_mesh_spec
+    import pytest
+    assert parse_mesh_spec("scen=2,body=4") == {"scen": 2, "body": 4}
+    assert parse_mesh_spec("body=8") == {"body": 8, "scen": 1}
+    with pytest.raises(ValueError):
+        parse_mesh_spec("scen=2,scen=2")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("rows=2")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("scen2")
