@@ -87,10 +87,12 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     solve through the sharded drivers (parallel/solver_sharded.py): the
     scenario batch spreads over 'scen' and bodies over a 'body' ppermute
     ring — the multi-chip analog of the reference's 2-GPU scenario
-    distribution (hw5.cu:564-588). Supported with precisions f64 (CPU
-    meshes), dd, f32, ddp and tf3 (accelerator meshes, rescaled); f64/dd/
-    f32 answers are bit-identical across mesh shapes for a fixed force
-    tile size, ddp/tf3 at (beyond-)f64 level (solver_sharded docstring).
+    distribution (hw5.cu:564-588). Supported with every non-native
+    precision: f64 (CPU meshes), dd, f32, ddp, tf3 and e64 (accelerator
+    meshes). f64/dd/f32 answers are bit-identical across mesh shapes for
+    a fixed force tile size, ddp/tf3 at (beyond-)f64 level, and e64 is
+    byte-identical across mesh shapes unconditionally — the softfloat's
+    serial per-row fold never re-associates (solver_sharded docstring).
 
     tile: force-accumulation j-tile size for the mesh path. The
     determinism contract is "bit-identical across mesh shapes FOR THE SAME
@@ -181,11 +183,13 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         raise ValueError(f"unknown precision: {precision}")
 
     if mesh is not None:
-        if precision == "e64":
-            raise NotImplementedError(
-                "mesh routing is not yet implemented for the e64 softfloat "
-                "path; use precision 'ddp', 'tf3', 'dd', 'f64' or 'f32' "
-                "on a mesh")
+        # e64 on the mesh: the state rides body-REPLICATED and only the
+        # O(n^2) force rows split over 'body' (solver_sharded.
+        # _p12_chunk_sharded_e64) — answers byte-identical to the
+        # single-chip e64 path across mesh shapes BY CONSTRUCTION (the
+        # spec's serial per-row fold never re-associates). The mesh twin
+        # of the reference spreading the graded scenario over both GPUs
+        # (hw5.cu:564-588).
         from .parallel.solver_sharded import (run_problems_12_sharded,
                                               run_problem_3_sharded)
         from .utils.padding import bucket_size, pad_scene

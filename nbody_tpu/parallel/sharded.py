@@ -114,31 +114,73 @@ def make_sharded_step(mesh: Mesh, *, body_axis: str = "body",
 
 def simulate_sharded(q, v, m, n_steps: int, mesh: Mesh, *,
                      body_axis: str = "body", G: float = 6.674e-11,
-                     eps: float = 1e-3, dt: float = 60.0):
-    """March a (possibly huge) body-sharded system n_steps steps entirely
-    on-device: the scan lives inside one shard_map program, so each step is
-    local compute + ring ppermute with no host involvement."""
+                     eps: float = 1e-3, dt: float = 60.0,
+                     m_half=None, fst=None, chunk: int | None = None,
+                     on_chunk=None):
+    """March a (possibly huge) body-sharded system entirely on-device:
+    the scan lives inside one shard_map program, so each step is local
+    compute + ring ppermute with no host involvement.
+
+    m_half/fst: optional device-mass oscillation — per step t the
+    effective mass is m + m_half * fst[t] (the graded spec's
+    `m + 0.5*m*|sin(t*dt/6000)|` when m_half = 0.5*m*device_mask and fst
+    is physics.oscillation_table's |sin| column; hw5.cu:58-63). Omitted:
+    fixed masses, one fused n_steps-long scan (the round-1 behavior).
+
+    chunk/on_chunk: host-chunked marching — after every `chunk` steps
+    on_chunk(step, q, v) is called with the HOST state (checkpoint/
+    logging hook, the mesh twin of simulate()'s). chunk=None runs a
+    single monolithic scan (no host round-trips)."""
     state_spec = P(body_axis, None)
     m_spec = P(body_axis)
 
-    def run(q, v, m):
-        gm = G * m
+    oscillating = fst is not None
+    if oscillating and m_half is None:
+        raise ValueError("fst given without m_half: pass the device-mass "
+                         "half-amplitudes (0.5 * m * device_mask)")
+    if not oscillating:
+        m_half = jnp.zeros_like(m)
 
-        def body(carry, _):
+    def run(q, v, m, m_half, fst_chunk):
+        gm0 = G * m
+        gm_half = G * m_half
+
+        def body(carry, fst_t):
             q, v = carry
+            gm = gm0 + gm_half * fst_t if oscillating else gm0
             a = ring_pairwise_accel(q, gm, axis_name=body_axis, eps=eps)
             v = v + a * dt
             q = q + v * dt
             return (q, v), None
 
-        (q, v), _ = lax.scan(body, (q, v), None, length=n_steps)
+        (q, v), _ = lax.scan(body, (q, v), fst_chunk,
+                             length=fst_chunk.shape[0])
         return q, v
 
-    fn = jax.shard_map(run, mesh=mesh, in_specs=(state_spec, state_spec,
-                                                 m_spec),
-                       out_specs=(state_spec, state_spec))
+    fn = jax.jit(jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(state_spec, state_spec, m_spec, m_spec, P(None)),
+        out_specs=(state_spec, state_spec)))
     sharding = NamedSharding(mesh, state_spec)
     q = jax.device_put(q, sharding)
     v = jax.device_put(v, sharding)
     m = jax.device_put(m, NamedSharding(mesh, m_spec))
-    return jax.jit(fn, static_argnums=())(q, v, m)
+    m_half = jax.device_put(m_half, NamedSharding(mesh, m_spec))
+    rep = NamedSharding(mesh, P(None))
+
+    import numpy as np
+    fst_h = (np.asarray(fst) if oscillating
+             else np.zeros(n_steps + 1, np.asarray(m).dtype))
+    if chunk is None:
+        fc = jax.device_put(fst_h[1:n_steps + 1], rep)
+        return fn(q, v, m, m_half, fc)
+    step = 0
+    while step < n_steps:
+        n_sub = min(chunk, n_steps - step)
+        # steps are 1-indexed in the oscillation table (spec semantics)
+        fc = jax.device_put(fst_h[step + 1: step + 1 + n_sub], rep)
+        q, v = fn(q, v, m, m_half, fc)
+        step += n_sub
+        if on_chunk is not None:
+            on_chunk(step, np.asarray(q), np.asarray(v))
+    return q, v

@@ -48,7 +48,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
-from ..ops.forces import _dist3
+from ..ops.forces import _dist3, pairwise_accel_e64
 
 
 def _tile_partial(qi, qj, gmj, *, eps, dist3_mode, fast):
@@ -566,10 +566,17 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
     from ..ops import tfloat
     from ..ops.tfloat import TF3
 
+    from ..ops import f64emu
+
     is_tf = isinstance(dtype, str) and dtype in ("tf3", "tf3grid")
-    host_dtype = np.float64 if is_tf else dtype
-    conv = (lambda a: tfloat.from_f64(np.asarray(a, np.float64))) if is_tf \
-        else (lambda a: np.asarray(a, dtype))
+    is_e64 = isinstance(dtype, str) and dtype == "e64"
+    host_dtype = np.float64 if (is_tf or is_e64) else dtype
+    if is_tf:
+        conv = lambda a: tfloat.from_f64(np.asarray(a, np.float64))
+    elif is_e64:
+        conv = lambda a: f64emu.e64_from_f64_tree(np.asarray(a, np.float64))
+    else:
+        conv = lambda a: np.asarray(a, dtype)
 
     n = scene.n
     scen_size = mesh.shape["scen"]
@@ -590,42 +597,67 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
     m_half = 0.5 * np.stack([m0 * (1.0 - mask), m0]) * mask[None, :]
 
     oh_dtype = np.float32 if is_tf else dtype   # matmuls against f32 limbs
-    planet_oh = np.zeros(n, oh_dtype)
-    planet_oh[scene.planet] = 1.0
-    asteroid_oh = np.zeros(n, oh_dtype)
-    asteroid_oh[scene.asteroid] = 1.0
-    dev_oh = np.zeros((max(D, 1), n), oh_dtype)
-    for k in range(D):
-        dev_oh[k, scene.device_idx[k]] = 1.0
+    Dp = max(D, 1)
+    if not is_e64:
+        planet_oh = np.zeros(n, oh_dtype)
+        planet_oh[scene.planet] = 1.0
+        asteroid_oh = np.zeros(n, oh_dtype)
+        asteroid_oh[scene.asteroid] = 1.0
+        dev_oh = np.zeros((Dp, n), oh_dtype)
+        for k in range(D):
+            dev_oh[k, scene.device_idx[k]] = 1.0
 
     d0 = q0[scene.planet] - q0[scene.asteroid]
     d2_0 = d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
     r2 = np.asarray(cfg.planet_radius, host_dtype) ** 2
-    Dp = max(D, 1)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    state_spec = P("scen", "body", None)
+    # e64 keeps the (tiny, n <= 1024) state REPLICATED over 'body' and
+    # splits only the O(n^2) force rows (_p12_chunk_sharded_e64 docstring)
+    state_spec = (P("scen", None, None) if is_e64
+                  else P("scen", "body", None))
+    snap_spec = (P("scen", None, None, None) if is_e64
+                 else P("scen", None, "body", None))
     carry = (
         put(conv(np.stack([q0, q0])), state_spec),
         put(conv(np.stack([v0, v0])), state_spec),
         put(conv(np.full((2,), d2_0)), P("scen")),
         put(np.full((2,), 0 if d2_0 < r2 else -2, np.int32), P("scen")),
         put(np.full((2, Dp), -2, np.int32), P("scen", None)),
-        put(conv(np.zeros((2, Dp, n, 3))), P("scen", None, "body", None)),
-        put(conv(np.zeros((2, Dp, n, 3))), P("scen", None, "body", None)),
+        put(conv(np.zeros((2, Dp, n, 3))), snap_spec),
+        put(conv(np.zeros((2, Dp, n, 3))), snap_spec),
     )
-    m0_j = put(conv(m0_s), P("scen", "body"))
-    mh_j = put(conv(m_half), P("scen", "body"))
-    poh = put(planet_oh, P("body"))
-    aoh = put(asteroid_oh, P("body"))
-    doh = put(dev_oh, P(None, "body"))
+    mass_spec = P("scen", None) if is_e64 else P("scen", "body")
+    m0_j = put(conv(m0_s), mass_spec)
+    mh_j = put(conv(m_half), mass_spec)
+    if is_e64:
+        # padded device-slot indices: the dummy slots (>= D) point at body
+        # 0; their arrivals/snapshots are dropped by the [:D] slices below
+        didx = np.zeros(Dp, np.int32)
+        didx[:D] = np.asarray(scene.device_idx, np.int32)
+        didx_j = put(didx, P(None))
+    else:
+        poh = put(planet_oh, P("body"))
+        aoh = put(asteroid_oh, P("body"))
+        doh = put(dev_oh, P(None, "body"))
     fstd = np.asarray(fst, host_dtype)
 
     if host_chunk is None:
         on_accel = mesh.devices.flat[0].platform != "cpu"
-        host_chunk = 2000 if on_accel else cfg.n_steps
+        if not on_accel:
+            host_chunk = cfg.n_steps
+        elif is_e64:
+            # softfloat steps are ~20x dd's; keep each device execution
+            # well under the ~60 s TPU watchdog (CLAUDE.md). 3e-8 s per
+            # pair-step is the measured single-chip prior; the mesh splits
+            # the pair work over the whole device grid.
+            from ..models.direct_sum import _E64_SEC_PER_PAIR_STEP
+            rate = _E64_SEC_PER_PAIR_STEP * 2 * n * n / mesh.size
+            host_chunk = max(64, min(2000, int(30.0 / max(rate, 1e-12))))
+        else:
+            host_chunk = 2000
     t0 = 0
     fingerprint = None
     # P2 early exit (the sharded twin of direct_sum's; hw5.cu:398-402):
@@ -670,16 +702,16 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                         "checkpoint was written post-early-exit (P1-only "
                         "phase) and can only resume on a scen=1 mesh")
                 frozen = (put(hit2, P("scen")), put(arr2, P("scen", None)),
-                          put(qs2, P("scen", None, "body", None)),
-                          put(vs2, P("scen", None, "body", None)))
+                          put(qs2, snap_spec),
+                          put(vs2, snap_spec))
                 carry = (
                     put(unpack(qc), state_spec),
                     put(unpack(vc), state_spec),
                     put(unpack(extra["min_d2"]), P("scen")),
                     put(hit2[0:1], P("scen")),
                     put(arr2[0:1], P("scen", None)),
-                    put(_row0(qs2), P("scen", None, "body", None)),
-                    put(_row0(vs2), P("scen", None, "body", None)),
+                    put(_row0(qs2), snap_spec),
+                    put(_row0(vs2), snap_spec),
                 )
                 m0_j, mh_j = _row0(m0_j), _row0(mh_j)
             else:
@@ -689,8 +721,8 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                     put(unpack(extra["min_d2"]), P("scen")),
                     put(hit2, P("scen")),
                     put(arr2, P("scen", None)),
-                    put(qs2, P("scen", None, "body", None)),
-                    put(vs2, P("scen", None, "body", None)),
+                    put(qs2, snap_spec),
+                    put(vs2, snap_spec),
                 )
     hit_h = int(np.asarray(carry[3] if frozen is None else frozen[0])[1])
     while t0 < cfg.n_steps:
@@ -712,6 +744,15 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
                 G=cfg.G, planet_radius=cfg.planet_radius,
                 missile_speed=cfg.missile_speed, tile=tile,
                 grid=(dtype == "tf3grid"))
+        elif is_e64:
+            carry = _p12_chunk_sharded_e64(
+                *carry, m0_j, mh_j, didx_j,
+                jax.device_put(conv(fst_chunk), rep),
+                jax.device_put(np.int32(t0), rep),
+                mesh=mesh, n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps,
+                G=cfg.G, planet_radius=cfg.planet_radius,
+                missile_speed=cfg.missile_speed,
+                planet=scene.planet, asteroid=scene.asteroid)
         else:
             carry = _p12_chunk_sharded(
                 *carry, m0_j, mh_j, poh, aoh, doh,
@@ -756,6 +797,18 @@ def run_problems_12_sharded(scene, fst, cfg: SimConfig, mesh: Mesh, *,
             v_snaps=tfloat.to_f64(v_snap)[1][:D],
             q_snaps_tf=_host_tf(q_snap)[1, :D],
             v_snaps_tf=_host_tf(v_snap)[1, :D],
+        )
+    if is_e64:
+        # E64 <-> f64 is exact: the f64 views are lossless (direct_sum's
+        # single-device e64 return path)
+        host_e = lambda x: f64emu.e64_to_f64(
+            f64emu.E64(np.asarray(x.hi), np.asarray(x.lo)))
+        return P12Result(
+            min_dist=float(np.sqrt(host_e(min_d2)[0])),
+            hit_time_step=int(hit[1]),
+            arrivals=arr[1][:D],
+            q_snaps=host_e(q_snap)[1][:D],
+            v_snaps=host_e(v_snap)[1][:D],
         )
     min_d2, q_snap, v_snap = (np.asarray(x) for x in
                               (min_d2, q_snap, v_snap))
@@ -945,10 +998,17 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
     if not eligible.any():
         return np.zeros((D,), dtype=bool)
 
+    from ..ops import f64emu
+
     is_tf = isinstance(dtype, str) and dtype in ("tf3", "tf3grid")
-    host_dtype = np.float64 if is_tf else dtype
-    conv = (lambda a: tfloat.from_f64(np.asarray(a, np.float64))) if is_tf \
-        else (lambda a: np.asarray(a, dtype))
+    is_e64 = isinstance(dtype, str) and dtype == "e64"
+    host_dtype = np.float64 if (is_tf or is_e64) else dtype
+    if is_tf:
+        conv = lambda a: tfloat.from_f64(np.asarray(a, np.float64))
+    elif is_e64:
+        conv = lambda a: f64emu.e64_from_f64_tree(np.asarray(a, np.float64))
+    else:
+        conv = lambda a: np.asarray(a, dtype)
 
     n = scene.n
     scen_size = mesh.shape["scen"]
@@ -978,21 +1038,31 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
         for comp in ("hi", "mid", "lo"):
             getattr(qs, comp)[:D] = getattr(p12.q_snaps_tf, comp)
             getattr(vs, comp)[:D] = getattr(p12.v_snaps_tf, comp)
+    elif is_e64:
+        # E64 <-> f64 is exact: the f64 snapshots are lossless
+        qs = np.zeros((Dp, n, 3), np.float64)
+        vs = np.zeros((Dp, n, 3), np.float64)
+        qs[:D] = p12.q_snaps
+        vs[:D] = p12.v_snaps
+        qs, vs = conv(qs), conv(vs)
     else:
         qs = np.zeros((Dp, n, 3), dtype)
         vs = np.zeros((Dp, n, 3), dtype)
         qs[:D] = p12.q_snaps
         vs[:D] = p12.v_snaps
+    # host f64 IS correctly-rounded binary64, so this check is bit-exact
+    # for the e64 path too (core.cc:149)
     dsnap = (p12.q_snaps[:, scene.planet] - p12.q_snaps[:, scene.asteroid])
     hit0 = np.zeros(Dp, bool)
     hit0[:D] = ((dsnap * dsnap).sum(-1)
                 < np.asarray(cfg.planet_radius, np.float64) ** 2)
 
-    oh_dtype = np.float32 if is_tf else dtype
-    planet_oh = np.zeros(n, oh_dtype)
-    planet_oh[scene.planet] = 1.0
-    asteroid_oh = np.zeros(n, oh_dtype)
-    asteroid_oh[scene.asteroid] = 1.0
+    if not is_e64:
+        oh_dtype = np.float32 if is_tf else dtype
+        planet_oh = np.zeros(n, oh_dtype)
+        planet_oh[scene.planet] = 1.0
+        asteroid_oh = np.zeros(n, oh_dtype)
+        asteroid_oh[scene.asteroid] = 1.0
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -1002,16 +1072,24 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
                   G=cfg.G, planet_radius=cfg.planet_radius, tile=tile,
                   chunk_steps=cs)
 
-    q_j = put(qs, P("scen", "body", None))
-    v_j = put(vs, P("scen", "body", None))
+    # e64 state is body-replicated (only force rows split; see
+    # _p12_chunk_sharded_e64)
+    p3_state_spec = (P("scen", None, None) if is_e64
+                     else P("scen", "body", None))
+    p3_mass_spec = P("scen", None) if is_e64 else P("scen", "body")
+    q_j = put(qs, p3_state_spec)
+    v_j = put(vs, p3_state_spec)
     hit_j = put(hit0, P("scen"))
     static = (
         put(arr_masked, P("scen")), put(elig_p, P("scen")),
-        put(conv(m0_scen), P("scen", "body")),
-        put(conv(m_half_scen), P("scen", "body")),
-        put(planet_oh, P("body")), put(asteroid_oh, P("body")),
-        jax.device_put(conv(np.asarray(fst, host_dtype)), rep),
+        put(conv(m0_scen), p3_mass_spec),
+        put(conv(m_half_scen), p3_mass_spec),
     )
+    if not is_e64:
+        static = static + (put(planet_oh, P("body")),
+                           put(asteroid_oh, P("body")))
+    static = static + (jax.device_put(conv(np.asarray(fst, host_dtype)),
+                                      rep),)
 
     if host_chunks is None:
         on_accel = mesh.devices.flat[0].platform != "cpu"
@@ -1034,8 +1112,8 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
                     "resume")
             c = int(step)
             unpack = _ckpt_unpack_fn(dtype)
-            q_j = put(unpack(qc), P("scen", "body", None))
-            v_j = put(unpack(vc), P("scen", "body", None))
+            q_j = put(unpack(qc), p3_state_spec)
+            v_j = put(unpack(vc), p3_state_spec)
             hit_j = put(extra["hit_flag"].astype(bool), P("scen"))
 
     while c < n_chunks:
@@ -1052,6 +1130,12 @@ def run_problem_3_sharded(scene, p12, fst, cfg: SimConfig, mesh: Mesh, *,
         if is_tf:
             c_j, q_j, v_j, hit_j = _p3_chunks_sharded_tf3(
                 *args, grid=(dtype == "tf3grid"), **common)
+        elif is_e64:
+            e64_common = {k_: v_ for k_, v_ in common.items()
+                          if k_ != "tile"}
+            c_j, q_j, v_j, hit_j = _p3_chunks_sharded_e64(
+                *args, planet=scene.planet, asteroid=scene.asteroid,
+                **e64_common)
         else:
             c_j, q_j, v_j, hit_j = _p3_chunks_sharded(
                 *args, dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,

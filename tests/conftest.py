@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # CPU for speed and true-f64 semantics.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the XLA:CPU softfloat (e64) mega-graphs
+# take tens of minutes to compile (a CPU-backend pathology — CLAUDE.md);
+# caching makes repeated RUN_SLOW runs pay that once per code change.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 sys.path.insert(0, os.path.dirname(__file__))
 

@@ -70,6 +70,43 @@ def test_simulate_tf3_matches_f64():
     np.testing.assert_allclose(tf3.v, ref.v, rtol=1e-13)
 
 
+def test_simulate_leapfrog_tf3_matches_f64():
+    """Leapfrog through the TF3 representation (VERDICT round-2 item 8:
+    the integrator x precision matrix): same 2nd-order trajectory as the
+    f64 leapfrog to far beyond f64 rounding over a short horizon."""
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    ref = simulate(scene, n_steps=25, chunk=25, platform="cpu",
+                   integrator="leapfrog")
+    tf3 = simulate(scene, n_steps=25, chunk=25, precision="tf3",
+                   platform="cpu", integrator="leapfrog")
+    np.testing.assert_allclose(tf3.q, ref.q, rtol=1e-13)
+    np.testing.assert_allclose(tf3.v, ref.v, rtol=1e-13)
+    # and it is genuinely a different integrator than Euler
+    eul = simulate(scene, n_steps=25, chunk=25, precision="tf3",
+                   platform="cpu")
+    assert np.max(np.abs(eul.q - tf3.q)) > 0
+
+
+def test_simulate_leapfrog_e64_matches_f64():
+    """Leapfrog through the bit-exact binary64 softfloat: same 2nd-order
+    trajectory as the f64 leapfrog. (Not bit-identity: the f64 leapfrog
+    rides the fast rsqrt/tree-reduce kernel while e64 runs the serial
+    dsqrt fold — same math, different summation order, so agreement is at
+    accumulated-f64-rounding level, not to the bit. Bit-identity of the
+    e64 REPRESENTATION itself is pinned by the Euler test below, whose
+    f64 twin runs the identical op order.)"""
+    import pytest
+    if not os.environ.get("RUN_SLOW"):
+        pytest.skip("minutes of XLA:CPU compile; RUN_SLOW=1")
+    scene = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    ref = simulate(scene, n_steps=10, chunk=10, platform="cpu",
+                   integrator="leapfrog")
+    e64 = simulate(scene, n_steps=10, chunk=10, precision="e64",
+                   platform="cpu", integrator="leapfrog")
+    np.testing.assert_allclose(e64.q, ref.q, rtol=1e-13)
+    np.testing.assert_allclose(e64.v, ref.v, rtol=1e-13)
+
+
 def test_simulate_e64_bit_identical_to_f64():
     """The bit-exact binary64 representation through simulate(): the final
     state must equal the f64 path's BIT FOR BIT."""
