@@ -242,10 +242,13 @@ def add_u(sa, ea, a1, a0, sb, eb, b1, b0):
     l0n = ((g0 << rl) | take(gE)) & _u(_M28)
     lEn = (gE << rl) & _u(_M28)
 
-    r1f = jnp.where(sh == -1, c1, l1n)
-    r0f = jnp.where(sh == -1, c0, l0n)
-    rEf = jnp.where(sh == -1, cE, lEn)
-    stf = jnp.where(sh == -1, c_st, sticky)
+    carry_out = sh == -1
+    r1f = jnp.where(carry_out, c1, l1n)
+    r0f = jnp.where(carry_out, c0, l0n)
+    rEf = jnp.where(carry_out, cE, lEn)
+    # boolean select via logic ops: Mosaic cannot lower a bool-VALUED
+    # jnp.where (same bits; u32/i32 selects are unaffected)
+    stf = (carry_out & c_st) | (~carry_out & sticky)
     ef = ex - sh
 
     s, e, l1, l0 = _round_norm(sx, ef, r1f, r0f, rEf, stf)
@@ -291,11 +294,26 @@ def _limbs14(l1, l0):
             l1 & _u(_M14), l1 >> 14]
 
 
+def _f32_u32(x):
+    """float32 -> uint32 truncation for x in [0, 2^32) — bit-identical to
+    .astype(U32), but lowered through int32 (Mosaic/Pallas has no
+    f32 <-> unsigned casts). Values >= 2^31 take the offset branch."""
+    big = x >= F32(2147483648.0)
+    lo_ = x.astype(I32).astype(U32)
+    hi_ = (x - F32(2147483648.0)).astype(I32).astype(U32) + _u(0x80000000)
+    return jnp.where(big, hi_, lo_)
+
+
 def _limb_f32(lims):
-    """float32 approximation of a limb integer (little-endian)."""
-    acc = lims[-1].astype(F32)
+    """float32 approximation of a limb integer (little-endian).
+
+    The uint32 -> float32 cast hops through int32 (limbs are < 2^28, so
+    the values are identical): Mosaic/Pallas has no unsigned-to-float
+    cast, and the int32 form lowers on every backend."""
+    cvt = lambda x: x.astype(I32).astype(F32)
+    acc = cvt(lims[-1])
     for lm in lims[-2::-1]:
-        acc = acc * F32(1 << 14) + lm.astype(F32)
+        acc = acc * F32(1 << 14) + cvt(lm)
     return acc
 
 
@@ -440,10 +458,14 @@ def _mul_tail(s, e, d, zero):
         return l1_, l0_, g_, st_
     x0 = extract(0)
     x1 = extract(1)
-    pick = lambda a_, b_: jnp.where(top != 0, a_, b_)
+    hi_top = top != 0
+    pick = lambda a_, b_: jnp.where(hi_top, a_, b_)
     e = e + _i(top)
+    # sticky is a bool: select via logic ops (Mosaic cannot lower a
+    # bool-valued jnp.where; same bits)
+    st = (hi_top & x0[3]) | (~hi_top & x1[3])
     s, e, l1, l0 = _round_norm(s, e, pick(x0[0], x1[0]), pick(x0[1], x1[1]),
-                               pick(x0[2], x1[2]), pick(x0[3], x1[3]))
+                               pick(x0[2], x1[2]), st)
     e = jnp.where(zero, _i(0), e)
     l1 = jnp.where(zero, _u(0), l1)
     l0 = jnp.where(zero, _u(0), l0)
@@ -476,16 +498,50 @@ def mul(ah, al, bh, bl):
 # div
 # ---------------------------------------------------------------------------
 
+def _hilo_f32(l3, l2, l1, l0):
+    """Double-f32 view of a 4-limb value V = H*2^28 + T (H = l3:l2,
+    T = l1:l0, each a 28-bit integer): returns (hh, rest) with
+    hh + rest*2^-28 == V*2^-28 to ~2^-45 relative — hh is fl(H) and rest
+    recovers H's rounding error exactly in the integer domain, plus fl(T)
+    (T's own sub-ulp tail, <= 2^-50 of V, is dropped). Pure casts and
+    exact power-of-two scalings: FMA contraction cannot touch it."""
+    cvt = lambda x: x.astype(I32).astype(F32)
+    H = (l3 << 14) | l2
+    T = (l1 << 14) | l0
+    hh = cvt(H)
+    hl = cvt(H.astype(I32) - hh.astype(I32))   # exact: |H - fl(H)| <= 16
+    rest = hl * F32(1 << 28) + cvt(T)
+    return hh, rest
+
+
 def _div_prep(b1, b0):
     """Divisor-only preparation, shared across dividends dividing by the
     SAME divisor (the force kernel's three axis terms / d3) and across the
-    digit iterations: limb decomposition, float32 reciprocal seed, and the
-    6-limb two's-complement of -B for the combined fix pass."""
+    digit iterations: limb decomposition, a Newton-refined double-f32
+    reciprocal pre-scaled for the 26-bit digit estimates, and the 6-limb
+    two's-complement of -B for the combined fix pass."""
     bm = _limbs14(b1, b0)
-    rb = F32(1.0) / _limb_f32(bm)
     z = _u(jnp.zeros_like(b1))
     nbm = _limb_neg(bm + [z, z])         # -B over the 6-limb modulus
-    return bm, rb, nbm
+
+    # double-f32 reciprocal of B (rel err ~2^-45): f32 seed + one Newton
+    # step whose residual e = 1 - B*r0 is computed from the FMA-proof
+    # two_prod (tfloat docstring: XLA:CPU contracts mul+add into fmuladd
+    # and strips optimization_barrier, so fl(bh*r0)'s rounding cannot be
+    # allowed to carry information).
+    from .tfloat import two_prod
+    bh, bl = _hilo_f32(bm[3], bm[2], bm[1], bm[0])
+    bh = bh * F32(1 << 28)               # exact; bl stays at unit scale
+    r0 = F32(1.0) / bh
+    p, pe = two_prod(bh, r0)
+    e = ((F32(1.0) - p) - pe) - bl * r0
+    rl = r0 * e
+    # digit scale: ratio = rem*2^26/B with rem = hh*2^28 + rest, so the
+    # hh coefficient is rb*2^(28+26) = rb*2^54 and rest's is 2^-28 of it
+    rbs_h = r0 * F32(2.0 ** 54)          # exact power-of-two scalings
+    rbs_l = rl * F32(2.0 ** 54)
+    rbs_h28 = rbs_h * F32(2.0 ** -28)
+    return bm, (rbs_h, rbs_l, rbs_h28), nbm
 
 
 def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
@@ -500,24 +556,44 @@ def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
     e = ea - eb + _i(1023) - _i(a_lt)
 
     z = _u(jnp.zeros_like(a1))
-    rem = _limbs14(a1, a0) + [z, z]      # 6 limbs: value < 2^54
+    rem = _limbs14(a1, a0) + [z, z]      # 6 limbs: value < 2^55
 
-    # three digits of floor(A*2^52 / B): 17 + 18 + 18 bits
+    rbs_h, rbs_l, rbs_h28 = rb
+
+    # two digits of floor(A*2^52 / B): 27 + 26 bits. Each digit is
+    # estimated to ~2^-13 absolute from the EXACT 4-limb remainder
+    # (rem < 2B <= 2^55 before each shift, so limbs 4-5 are zero) via a
+    # double-f32 product against the prepared reciprocal: hh carries the
+    # top 28 bits exactly, rest the next ~24, and the FMA-proof two_prod
+    # recovers the rounding of hh*rbs_h — the truncated digit is within
+    # {-1, 0, +1} of the true floor, exactly the envelope the combined
+    # fix pass below restores (same argument as the former f32-estimated
+    # 17+18+18 digit scheme; two estimates of ~40 lane-ops replace a
+    # third full shl/mul/sub/fix iteration of ~140).
+    from .tfloat import two_prod
     digits = []
-    for shift in (16, 18, 18):
-        rem = _limb_shl(rem, shift, 6)
-        q = (_limb_f32(rem) * rb).astype(U32)
-        q = jnp.minimum(q, _u((1 << 18) + 3))
+    for _ in range(2):
+        hh, rest = _hilo_f32(rem[3], rem[2], rem[1], rem[0])
+        p, pe = two_prod(hh, rbs_h)
+        lo = pe + hh * rbs_l + rest * rbs_h28
+        # floor of the unevaluated pair p + lo: a single f32 sum would
+        # quantize to ulp(2^27) = 8 and blow the +-1 envelope — instead
+        # split p at its own integral floor (exact: p is either integral
+        # or < 2^24) and floor the small residual separately
+        qi = p.astype(I32)
+        frac = (p - qi.astype(F32)) + lo
+        fi = frac.astype(I32)
+        fi = fi - (fi.astype(F32) > frac).astype(I32)
+        qi = qi + fi
+        qi = jnp.where(qi < 0, jnp.zeros_like(qi), qi)
+        cap = (1 << 27) + 3
+        q = jnp.where(qi > cap, _i(cap), qi).astype(U32)
+        rem = _limb_shl(rem, 26, 6)
         rem = _limb_sub(rem, _limb_mul([q & _u(_M14), q >> 14], bm, 6))
-        # correct the estimate: bring rem into [0, B). remf, rb, and their
-        # product each carry <= 2^-24 relative error, so the estimated
-        # ratio (<= 2^18) is within 2^-4 of the true ratio before
-        # truncation — the truncated digit is within {-1, 0, +1} of
-        # floor(rem/B) STRICTLY, i.e. rem is in (-B, 2B). The two cases
-        # are mutually exclusive, so ONE combined pass fixes both: add B
-        # when negative, add -B when >= B (fuzz confirms — 0 mismatches;
-        # the two sequential rounds this replaces were ~10% of the whole
-        # pair cost).
+        # bring rem into [0, B): the digit error is in {-1, 0, +1}, so
+        # rem is in (-B, 2B) — the two cases are mutually exclusive and
+        # ONE combined pass fixes both: add B when negative, add -B when
+        # >= B (fuzz confirms — 0 mismatches).
         neg_ = _limb_is_neg(rem)
         gt, eq = _limb_cmp(rem, bm)
         ge = ~neg_ & (gt | eq)
@@ -527,9 +603,9 @@ def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
         rem = _limb_add(rem, fix)
         digits.append(q)
 
-    d0, d1, d2 = digits                  # d0 in [2^16, 2^17)
-    l0q = (d2 | (d1 << 18)) & _u(_M28)
-    l1q = ((d1 >> 10) | (d0 << 8)) & _u((1 << 25) - 1)
+    d0, d1 = digits                      # d0 in [2^26, 2^27), d1 < 2^26
+    l0q = (d1 | (d0 << 26)) & _u(_M28)
+    l1q = (d0 >> 2) & _u((1 << 25) - 1)
     # RNE from the exact remainder: fraction beyond the lsb is rem/B
     two_rem = _limb_shl(rem, 1, 6)
     gt, eq = _limb_cmp(two_rem, bm)
@@ -587,7 +663,7 @@ def sqrt_u(sa, ea, a1, a0):
     # R limbs from the 24-bit mantissa of rf placed at the right scale:
     # rf in [2^52, 2^53): m = rf * 2^-29 in [2^23, 2^24)
     # place m * 2^29 -> bits 29..52: limb2 gets m bits 0..12 at offset 1
-    m = (rf * F32(2.0 ** -29)).astype(U32)
+    m = _f32_u32(rf * F32(2.0 ** -29))
     R = [z, z, (m & _u(0x1FFF)) << 1, (m >> 13) & _u(_M14)]
 
     half_rf_inv = F32(0.5) / rf          # 1/(2 sqrt(N)) approx
@@ -598,7 +674,7 @@ def sqrt_u(sa, ea, a1, a0):
         cf = _limb_signed_f32(c)
         dcorr = cf * half_rf_inv         # |d| shrinks 2^31 -> 2^9 -> ~1
         dneg = dcorr < 0
-        dmag = jnp.abs(dcorr).astype(U32)
+        dmag = _f32_u32(jnp.abs(dcorr))
         dl = [dmag & _u(_M14), (dmag >> 14) & _u(_M14), dmag >> 28]
         R_up = _limb_add(R, dl)
         R_dn = _limb_sub(R, dl)
