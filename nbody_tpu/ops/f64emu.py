@@ -514,12 +514,38 @@ def _hilo_f32(l3, l2, l1, l0):
     return hh, rest
 
 
-def _div_prep(b1, b0):
+def _two_prod_nb(a, b):
+    """FMA-proof Dekker two_prod with a barrier-FREE Veltkamp split, for
+    use INSIDE Pallas kernels: Mosaic has no optimization_barrier
+    lowering, and none is needed there — the barrier in tfloat.split
+    guards against XLA's HLO algebraic simplifier rewriting
+    c - (c - a) -> a, a pass that never sees the inside of a Mosaic
+    kernel (and MLIR arith does not reassociate floats without
+    fastmath). Same structure as tfloat.two_prod otherwise: exact
+    12-bit-half sub-products combined with pure two_sum chains."""
+    from .tfloat import two_sum
+    ca = F32(4097.0) * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = F32(4097.0) * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    s1, r1 = two_sum(ahi * bhi, ahi * blo)
+    s2, r2 = two_sum(s1, alo * bhi)
+    s3, r3 = two_sum(s2, alo * blo)
+    return s3, (r1 + r2) + r3
+
+
+def _div_prep(b1, b0, in_kernel: bool = False):
     """Divisor-only preparation, shared across dividends dividing by the
     SAME divisor (the force kernel's three axis terms / d3) and across the
     digit iterations: limb decomposition, a Newton-refined double-f32
     reciprocal pre-scaled for the 26-bit digit estimates, and the 6-limb
-    two's-complement of -B for the combined fix pass."""
+    two's-complement of -B for the combined fix pass.
+
+    in_kernel: inside a Pallas/Mosaic kernel, use the barrier-free
+    two_prod (no optimization_barrier lowering exists; see _two_prod_nb).
+    """
     bm = _limbs14(b1, b0)
     z = _u(jnp.zeros_like(b1))
     nbm = _limb_neg(bm + [z, z])         # -B over the 6-limb modulus
@@ -529,7 +555,10 @@ def _div_prep(b1, b0):
     # two_prod (tfloat docstring: XLA:CPU contracts mul+add into fmuladd
     # and strips optimization_barrier, so fl(bh*r0)'s rounding cannot be
     # allowed to carry information).
-    from .tfloat import two_prod
+    if in_kernel:
+        two_prod = _two_prod_nb
+    else:
+        from .tfloat import two_prod
     bh, bl = _hilo_f32(bm[3], bm[2], bm[1], bm[0])
     bh = bh * F32(1 << 28)               # exact; bl stays at unit scale
     r0 = F32(1.0) / bh
@@ -544,7 +573,8 @@ def _div_prep(b1, b0):
     return bm, (rbs_h, rbs_l, rbs_h28), nbm
 
 
-def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
+def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm,
+              in_kernel: bool = False):
     """Quotient of one dividend against a prepared divisor (see div_u)."""
     s = sa ^ sb
     zero = ea == 0
@@ -570,7 +600,10 @@ def _div_core(sa, ea, a1, a0, sb, eb, b1, b0, bm, rb, nbm):
     # fix pass below restores (same argument as the former f32-estimated
     # 17+18+18 digit scheme; two estimates of ~40 lane-ops replace a
     # third full shl/mul/sub/fix iteration of ~140).
-    from .tfloat import two_prod
+    if in_kernel:
+        two_prod = _two_prod_nb
+    else:
+        from .tfloat import two_prod
     digits = []
     for _ in range(2):
         hh, rest = _hilo_f32(rem[3], rem[2], rem[1], rem[0])
