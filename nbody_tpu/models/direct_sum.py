@@ -169,6 +169,23 @@ def _is_e64(dtype) -> bool:
     return isinstance(dtype, str) and dtype == "e64"
 
 
+def _use_pallas_e64(dtype, device, n: int) -> bool:
+    """Route the e64 force through the Mosaic kernel
+    (ops/pallas_forces_e64) on accelerators when the padded scene shape
+    fits its (rows_i*128, tile_j) blocking — bit-identical answers either
+    way (tests/test_pallas_e64.py). Env override NBODY_E64_PALLAS=0/1
+    forces it off/on (measurement escape hatch)."""
+    import os
+    if not _is_e64(dtype) or not _on_accelerator(device):
+        return False
+    env = os.environ.get("NBODY_E64_PALLAS", "auto")
+    if env in ("0", "off"):
+        return False
+    if env in ("1", "on"):
+        return n % 128 == 0
+    return n % 128 == 0 and n >= 256
+
+
 def _is_ext(dtype) -> bool:
     """Any non-native numeric representation (triple-f32 or softfloat)."""
     return _is_tf_dtype(dtype) or _is_e64(dtype)
@@ -212,12 +229,12 @@ def _ckpt_pack(x):
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
                      "missile_speed", "dist3_mode", "planet", "asteroid",
-                     "fast", "f64_grid"),
+                     "fast", "f64_grid", "pallas_e64"),
 )
 def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
                fst_chunk, t0, *, n_steps, dt, eps, G, planet_radius,
                missile_speed, dist3_mode, planet, asteroid, fast=False,
-               f64_grid=False):
+               f64_grid=False, pallas_e64=False):
     """Advance the stacked P1/P2 state over steps (t0, t0+len(fst_chunk)].
     Steps beyond n_steps are masked to the identity, so a ragged final chunk
     is bit-exact. The numeric type of q (plain f64/f32 array or TF3 triple)
@@ -248,7 +265,8 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
         m_eff = m0_s + m_half * fst_t
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast,
-                                       f64_grid=f64_grid)
+                                       f64_grid=f64_grid,
+                                       pallas_e64=pallas_e64)
         q = _select(in_range, q2, q)
         v = _select(in_range, v2, v)
         # Problem 1: running min on the devices-off scenario.
@@ -290,11 +308,11 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "dist3_mode", "planet",
-                     "asteroid", "fast", "f64_grid"),
+                     "asteroid", "fast", "f64_grid", "pallas_e64"),
 )
 def _p1_chunk(q, v, min_d2, fst_chunk, t0, m0_row, m_half_row, *, n_steps,
               dt, eps, G, dist3_mode, planet, asteroid, fast=False,
-              f64_grid=False):
+              f64_grid=False, pallas_e64=False):
     """Devices-off (Problem 1) row alone: the post-hit continuation of
     _p12_chunk once Problem 2's answer is settled (the reference breaks
     out of its devices-on loop at the hit, hw5.cu:398-402; the serial spec
@@ -312,7 +330,8 @@ def _p1_chunk(q, v, min_d2, fst_chunk, t0, m0_row, m_half_row, *, n_steps,
         m_eff = m0_row + m_half_row * fst_t
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast,
-                                       f64_grid=f64_grid)
+                                       f64_grid=f64_grid,
+                                       pallas_e64=pallas_e64)
         q = _select(in_range, q2, q)
         v = _select(in_range, v2, v)
         d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid], grid=f64_grid)
@@ -375,6 +394,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     )
 
     on_accel = _on_accelerator(device)
+    pk = _use_pallas_e64(dtype, device, n)
     chunker = None
     if host_chunk is None:
         if not on_accel:
@@ -443,7 +463,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                 n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
                 dist3_mode=cfg.dist3_mode or "dsqrt",
                 planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-                f64_grid=_is_grid(dtype),
+                f64_grid=_is_grid(dtype), pallas_e64=pk,
             )
             watch = p1_carry
         else:
@@ -455,7 +475,7 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                 missile_speed=cfg.missile_speed,
                 dist3_mode=cfg.dist3_mode or "dsqrt",
                 planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-                f64_grid=_is_grid(dtype),
+                f64_grid=_is_grid(dtype), pallas_e64=pk,
             )
             watch = carry
         if chunker is not None or on_accel:
@@ -521,12 +541,12 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
                      "dist3_mode", "planet", "asteroid", "fast",
-                     "chunk_steps", "f64_grid"),
+                     "chunk_steps", "f64_grid", "pallas_e64"),
 )
 def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
                m_half_scen, fst, *, n_steps, dt, eps, G, planet_radius,
                dist3_mode, planet, asteroid, fast=False, chunk_steps=2000,
-               f64_grid=False):
+               f64_grid=False, pallas_e64=False):
     """Run the batched resumed simulations from chunk c_start up to (at
     most) chunk c_limit: scenario k is frozen until its arrival step, then
     integrates with device k's mass zeroed (destruction takes effect from
@@ -556,7 +576,8 @@ def _p3_chunks(q, v, hit_flag, c_start, c_limit, arrivals, eligible, m0_scen,
         m_eff = m0_scen + m_half_scen * fst_t                 # (D, n)
         q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
                                        dist3_mode=dist3_mode, fast=fast,
-                                       f64_grid=f64_grid)
+                                       f64_grid=f64_grid,
+                                       pallas_e64=pallas_e64)
         sel = active[:, None, None]
         q = _select(sel, q2, q)
         v = _select(sel, v2, v)
@@ -699,6 +720,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
     is_tf = _is_tf_dtype(dtype)
     conv = _make_converter(dtype)
     host_dtype = np.float64 if _is_ext(dtype) else dtype
+    pk = _use_pallas_e64(dtype, device, scene.n)
     eligible = ((p12.arrivals[idx] != -2) &
                 (p12.arrivals[idx] <= p12.hit_time_step))
 
@@ -788,7 +810,7 @@ def _run_p3_scenarios(scene, p12: P12Result, fst: np.ndarray, cfg: SimConfig,
             planet_radius=cfg.planet_radius,
             dist3_mode=cfg.dist3_mode or "dsqrt",
             planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-            chunk_steps=cs, f64_grid=_is_grid(dtype),
+            chunk_steps=cs, f64_grid=_is_grid(dtype), pallas_e64=pk,
         )
         c_new = int(c_j)   # materializes the carry (blocks)
         if chunker is not None:

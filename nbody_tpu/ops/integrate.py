@@ -15,7 +15,7 @@ from .tfloat import TF3
 
 def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
                           dist3_mode: str = "dsqrt", fast: bool = False,
-                          f64_grid: bool = False):
+                          f64_grid: bool = False, pallas_e64: bool = False):
     """One integration step. q, v: (..., n, 3); m_eff: (..., n).
 
     Accepts plain arrays (f64/f32 paths) or TF3 triples (the extended-
@@ -47,9 +47,12 @@ def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
         # BIT-EXACT binary64 path: v += fl(a*dt); q += fl(v*dt), every op
         # correctly rounded (core.cc:111-120); the force kernel reproduces
         # the spec's per-pair op order and j-accumulation order.
-        from .forces import pairwise_accel_e64
+        if pallas_e64:
+            a = _pallas_accel_e64_batched(q, m_eff, G=G, eps=eps)
+        else:
+            from .forces import pairwise_accel_e64
 
-        a = pairwise_accel_e64(q, m_eff, G=G, eps=eps)
+            a = pairwise_accel_e64(q, m_eff, G=G, eps=eps)
         v = v + a * dt
         q = q + v * dt
         return q, v
@@ -69,6 +72,34 @@ def symplectic_euler_step(q, v, m_eff, *, G: float, eps: float, dt: float,
     v = v + a * dt
     q = q + v * dt
     return q, v
+
+
+def _pallas_accel_e64_batched(q, m_eff, *, G: float, eps: float):
+    """Route the e64 force through the Mosaic kernel
+    (ops/pallas_forces_e64): gm = fl64(G * m_eff) is hoisted as a packed
+    e64 product (bit-identical to the XLA kernel's in-chain mul of the
+    same values), and leading scenario batch dims unroll to one
+    pallas_call each (cross-scenario pairs must not mix)."""
+    import jax.numpy as jnp
+
+    from . import f64emu as fe
+    from .pallas_forces_e64 import pallas_accel_e64
+
+    Gh, Gl = fe.from_f64(float(G))
+    gm = fe.E64(*fe.mul(jnp.uint32(int(Gh)), jnp.uint32(int(Gl)),
+                        m_eff.hi, m_eff.lo))
+    n = q.hi.shape[-2]
+    rows_i = max(1, min(8, n // 128))
+    tile_j = 256 if n % 256 == 0 else 128
+    if q.hi.ndim == 2:
+        return pallas_accel_e64(q, gm, eps=eps, rows_i=rows_i,
+                                tile_j=tile_j)
+    assert q.hi.ndim == 3, q.hi.shape
+    parts = [pallas_accel_e64(q[b], gm[b], eps=eps, rows_i=rows_i,
+                              tile_j=tile_j)
+             for b in range(q.hi.shape[0])]
+    return fe.E64(jnp.stack([p.hi for p in parts]),
+                  jnp.stack([p.lo for p in parts]))
 
 
 def kdk_leapfrog_step(q, v, a, m_eff, *, G: float, eps: float, dt: float,
