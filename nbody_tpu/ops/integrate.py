@@ -80,6 +80,7 @@ def _pallas_accel_e64_batched(q, m_eff, *, G: float, eps: float):
     e64 product (bit-identical to the XLA kernel's in-chain mul of the
     same values), and leading scenario batch dims unroll to one
     pallas_call each (cross-scenario pairs must not mix)."""
+    import jax
     import jax.numpy as jnp
 
     from . import f64emu as fe
@@ -91,12 +92,16 @@ def _pallas_accel_e64_batched(q, m_eff, *, G: float, eps: float):
     n = q.hi.shape[-2]
     rows_i = max(1, min(8, n // 128))
     tile_j = 256 if n % 256 == 0 else 128
+    # interpret-mode passthrough on CPU (same precedent as
+    # pallas_step_isplit): lets the solver's pallas_e64 plumbing be
+    # validated bit-exactly without a TPU (RUN_SLOW CPU test)
+    interp = jax.default_backend() == "cpu"
     if q.hi.ndim == 2:
         return pallas_accel_e64(q, gm, eps=eps, rows_i=rows_i,
-                                tile_j=tile_j)
+                                tile_j=tile_j, interpret=interp)
     assert q.hi.ndim == 3, q.hi.shape
     parts = [pallas_accel_e64(q[b], gm[b], eps=eps, rows_i=rows_i,
-                              tile_j=tile_j)
+                              tile_j=tile_j, interpret=interp)
              for b in range(q.hi.shape[0])]
     return fe.E64(jnp.stack([p.hi for p in parts]),
                   jnp.stack([p.lo for p in parts]))

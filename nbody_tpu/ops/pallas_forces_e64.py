@@ -63,7 +63,7 @@ def _broadcast_quad(quad, shape):
 def _e64_kernel(jh_ref, jl_ref,
                 qxh_ref, qxl_ref, qyh_ref, qyl_ref, qzh_ref, qzl_ref,
                 axh_ref, axl_ref, ayh_ref, ayl_ref, azh_ref, azl_ref,
-                *, tile_j: int, eps2_bits: tuple[int, int]):
+                *, tile_j: int, sub_j: int, eps2_bits: tuple[int, int]):
     """Grid point (i, j): fold j-tile columns into the i-row block.
 
     jh/jl_ref: (TJ, 4) u32 in SMEM — packed hi/lo of (qx, qy, qz, gm)
@@ -71,6 +71,14 @@ def _e64_kernel(jh_ref, jl_ref,
     q*_ref:    (R, 128) u32 in VMEM — the i-side rows, packed hi/lo.
     a*_ref:    (R, 128) u32 — accumulated accelerations, packed; carried
                across the sequential j grid dimension.
+
+    sub_j: columns evaluated per chain pass. The per-pair softfloat
+    chain is one long dependency chain — evaluating a single column per
+    pass leaves the VPU pipeline latency-bound. Stacking sub_j
+    independent columns into (sub_j, R, 128) tensors gives every vector
+    op sub_j*R/8 independent vregs of work; only the j-ascending FOLD at
+    the end of each pass is serial (bits identical for any sub_j — the
+    fold order never changes).
     """
     jt = pl.program_id(1)
 
@@ -80,23 +88,32 @@ def _e64_kernel(jh_ref, jl_ref,
         for ref in (axh_ref, axl_ref, ayh_ref, ayl_ref, azh_ref, azl_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    shape = axh_ref.shape
+    shape = axh_ref.shape                        # (R, 128)
+    wide = (sub_j,) + shape
     eps2_u = _broadcast_quad(
         fe.unpack(jnp.uint32(eps2_bits[0]), jnp.uint32(eps2_bits[1])),
-        shape)
+        wide)
 
     qi_u = [fe.unpack(h_ref[:], l_ref[:])
             for h_ref, l_ref in ((qxh_ref, qxl_ref), (qyh_ref, qyl_ref),
                                  (qzh_ref, qzl_ref))]
-    nqi_u = [fe.neg_u(*q) for q in qi_u]
+    nqi_u = [_broadcast_quad(fe.neg_u(*q), wide) for q in qi_u]
 
     acc = tuple(fe.unpack(h_ref[:], l_ref[:])
                 for h_ref, l_ref in ((axh_ref, axl_ref), (ayh_ref, ayl_ref),
                                      (azh_ref, azl_ref)))
 
-    def fold_one(jj, acc):
-        cols = [_broadcast_quad(fe.unpack(jh_ref[jj, k], jl_ref[jj, k]),
-                                shape) for k in range(4)]
+    def fold_pass(p, acc):
+        j0 = p * sub_j
+        # (sub_j, R, 128) column stacks: scalar SMEM reads broadcast per
+        # sub-row, stacked on a leading (untiled) dim
+        cols = []
+        for k in range(4):
+            quads = [fe.unpack(jh_ref[j0 + s, k], jl_ref[j0 + s, k])
+                     for s in range(sub_j)]
+            cols.append(tuple(
+                jnp.stack([jnp.broadcast_to(qd[c], shape) for qd in quads])
+                for c in range(4)))
         qj_u, gm_u = cols[:3], cols[3]
         dq = [fe.add_u(*qj_u[k], *nqi_u[k]) for k in range(3)]
         d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
@@ -105,13 +122,16 @@ def _e64_kernel(jh_ref, jl_ref,
                       *eps2_u)
         d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))
         bm, rb, nbm = fe._div_prep(d3[2], d3[3], in_kernel=True)
-        return tuple(
-            fe.add_u(*acc[k],
-                     *fe._div_core(*fe.mul_u(*gm_u, *dq[k]), *d3,
-                                   bm, rb, nbm, in_kernel=True))
-            for k in range(3))
+        terms = [fe._div_core(*fe.mul_u(*gm_u, *dq[k]), *d3,
+                              bm, rb, nbm, in_kernel=True)
+                 for k in range(3)]
+        # j-ascending serial fold through the sub-tile (the spec's order)
+        for s in range(sub_j):
+            acc = tuple(fe.add_u(*acc[k], *(c[s] for c in terms[k]))
+                        for k in range(3))
+        return acc
 
-    acc = lax.fori_loop(0, tile_j, fold_one, acc)
+    acc = lax.fori_loop(0, tile_j // sub_j, fold_pass, acc)
 
     for (h_ref, l_ref), quad in zip(((axh_ref, axl_ref), (ayh_ref, ayl_ref),
                                      (azh_ref, azl_ref)), acc):
@@ -121,12 +141,12 @@ def _e64_kernel(jh_ref, jl_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "rows_i", "tile_j",
-                                             "interpret"))
+                                             "sub_j", "interpret"))
 def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
-                      tile_j: int, interpret: bool):
+                      tile_j: int, sub_j: int, interpret: bool):
     n = qh.shape[0]
-    assert n % (rows_i * _LANES) == 0 and n % tile_j == 0, (n, rows_i,
-                                                            tile_j)
+    assert n % (rows_i * _LANES) == 0 and n % tile_j == 0 \
+        and tile_j % sub_j == 0, (n, rows_i, tile_j, sub_j)
     # j side: (n, 4) packed columns (qx, qy, qz, gm) for SMEM scalar reads
     jh = jnp.concatenate([qh, gmh[:, None]], axis=1)
     jl = jnp.concatenate([ql, gml[:, None]], axis=1)
@@ -138,7 +158,7 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
     e2h, e2l = fe.from_f64(eps2)
     out = jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
 
-    kernel = functools.partial(_e64_kernel, tile_j=tile_j,
+    kernel = functools.partial(_e64_kernel, tile_j=tile_j, sub_j=sub_j,
                                eps2_bits=(int(e2h), int(e2l)))
     row_spec = pl.BlockSpec((rows_i, _LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -166,7 +186,8 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
 
 
 def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
-                     tile_j: int = 256, interpret: bool = False):
+                     tile_j: int = 256, sub_j: int = 8,
+                     interpret: bool = False):
     """Bit-exact binary64 all-pairs accelerations on the TPU via Pallas.
 
     q: E64 (n, 3); gm: E64 (n,) = G * m_eff (packed e64 product, hoisted
@@ -184,5 +205,6 @@ def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
     with jax.enable_x64(False):
         ah, al = _pallas_accel_e64(q.hi, q.lo, gm.hi, gm.lo, eps=eps,
                                    rows_i=rows_i, tile_j=tile_j,
+                                   sub_j=min(sub_j, tile_j),
                                    interpret=interpret)
     return fe.E64(ah, al)
