@@ -48,22 +48,27 @@ def main():
             lambda qe=qe, me=me: pairwise_accel_e64(qe, me, G=G, eps=eps)))
         print(f"n={n:5d}  xla    {t_x*1e3:9.2f} ms/eval  "
               f"{n*n/t_x:.3e} pairs/s", flush=True)
-        for rows_i, tile_j in ((8, 256), (4, 256), (8, 128)):
+        # each variant is a fresh remote Mosaic compile (~minutes): keep
+        # the grid tight — rows/sub_j probe pipeline fill, tile_j is the
+        # SMEM block (grid-minor trip count)
+        for rows_i, tile_j, sub_j in ((8, 256, 8), (8, 256, 16),
+                                      (4, 256, 8), (8, 128, 4)):
             if n % (rows_i * 128) or n % tile_j:
                 continue
-            t_p, out_p = timeit(jax.jit(functools_partial(
-                rows_i, tile_j, qe, gm, eps)))
+            t_p, out_p = timeit(jax.jit(_make_fn(
+                rows_i, tile_j, sub_j, qe, gm, eps)))
             eq = (np.array_equal(np.asarray(out_x.hi), np.asarray(out_p.hi))
                   and np.array_equal(np.asarray(out_x.lo),
                                      np.asarray(out_p.lo)))
-            print(f"n={n:5d}  pallas r{rows_i} t{tile_j} "
+            print(f"n={n:5d}  pallas r{rows_i} t{tile_j} s{sub_j} "
                   f"{t_p*1e3:9.2f} ms/eval  {n*n/t_p:.3e} pairs/s  "
                   f"byte_equal={eq}", flush=True)
 
 
-def functools_partial(rows_i, tile_j, qe, gm, eps):
+def _make_fn(rows_i, tile_j, sub_j, qe, gm, eps):
+    # binds the loop variables (late-binding lambda pitfall)
     return lambda: pallas_accel_e64(qe, gm, eps=eps, rows_i=rows_i,
-                                    tile_j=tile_j)
+                                    tile_j=tile_j, sub_j=sub_j)
 
 
 if __name__ == "__main__":
