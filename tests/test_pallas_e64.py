@@ -9,10 +9,16 @@ CPU, which hits the known XLA:CPU softfloat compile pathology). Runs in
 interpret mode: Mosaic lowering is validated on the TPU (the kernel is
 measured there; results/ACCURACY.md)."""
 
+import os
+
 import numpy as np
+import pytest
 
 from nbody_tpu.ops import f64emu as fe
 from nbody_tpu.ops.pallas_forces_e64 import pallas_accel_e64
+
+slow = pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                          reason="extra interpret-mode compiles; RUN_SLOW=1")
 
 
 def _host_f64_accel(q, gm, eps):
@@ -46,6 +52,7 @@ def test_pallas_e64_byte_identical_to_host_f64():
     np.testing.assert_array_equal(want_l, np.asarray(got.lo))
 
 
+@slow
 def test_pallas_e64_tile_shape_invariant():
     """Same bits for any (rows_i, tile_j) split: the fold order never
     depends on the blocking (ascending j-tiles x ascending in-tile j)."""
