@@ -33,7 +33,14 @@ def ensure_cpu_platform() -> None:
     if _ensured:
         return
     _ensured = True
-    plats = os.environ.get("JAX_PLATFORMS", "") or jax.config.read("jax_platforms") or ""
+    # config first, env second: a runtime jax.config.update("jax_platforms",
+    # "cpu") (the test harness, scripts pinning CPU) must WIN over the
+    # harness env's JAX_PLATFORMS=axon — consulting the env first silently
+    # re-exposed the axon backend as the default mid-test, making
+    # jax.devices() (e.g. in make_mesh) reach for the tunneled TPU from
+    # CPU-only tests.
+    plats = (jax.config.jax_platforms
+             or os.environ.get("JAX_PLATFORMS", "") or "")
     names = [p for p in plats.split(",") if p]
     if names and "cpu" not in names:
         try:
