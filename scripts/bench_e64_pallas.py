@@ -55,6 +55,10 @@ def main():
                                       (4, 256, 8), (8, 128, 4)):
             if n % (rows_i * 128) or n % tile_j:
                 continue
+            # Mosaic block rule: second-to-last dim divisible by 8 or
+            # equal to the full dim (n//128 rows)
+            if rows_i % 8 and rows_i != n // 128:
+                continue
             t_p, out_p = timeit(jax.jit(_make_fn(
                 rows_i, tile_j, sub_j, qe, gm, eps)))
             eq = (np.array_equal(np.asarray(out_x.hi), np.asarray(out_p.hi))
