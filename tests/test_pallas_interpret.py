@@ -68,6 +68,46 @@ def test_zero_mass_padding_contributes_nothing():
     np.testing.assert_array_equal(np.asarray(a)[:n // 2], np.asarray(a2))
 
 
+@pytest.mark.parametrize("tile_i,tile_j", [(32, 64), (64, 32), (128, 128)])
+def test_mxu_kernel_matches_xla(tile_i, tile_j):
+    """The Gram/matmul-formulated kernel agrees with the dq-form reference
+    to f32-Gram accuracy (the diagonal mask makes the self-term exactly 0;
+    without it the result is pure noise — see _accel_kernel_mxu)."""
+    from nbody_tpu.ops.pallas_forces import pallas_accel_mxu
+
+    n = 128
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(n, 3), jnp.float32)
+    m = jnp.asarray(np.abs(rs.randn(n)) * 1e8, jnp.float32)
+    G, eps = 6.674e-11, 1e-3
+    a = pallas_accel_mxu(q, G * m, eps=eps, tile_i=tile_i, tile_j=tile_j,
+                         interpret=True)
+    a_ref = pairwise_accel_fast(q, m, G=G, eps=eps)
+    peak = float(jnp.abs(a_ref).max())
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               atol=peak * 1e-4)
+
+
+def test_mxu_zero_mass_padding_contributes_nothing():
+    """gm = 0 pad rows add +-0.0 to both matmul sums — exact."""
+    from nbody_tpu.ops.pallas_forces import pallas_accel_mxu
+
+    n = 64
+    rs = np.random.RandomState(1)
+    q = rs.randn(n, 3).astype(np.float32)
+    gm = (np.abs(rs.randn(n)) * 1e-3).astype(np.float32)
+    gm[n // 2:] = 0.0
+    q[n // 2:] = q[0]            # pad bodies stacked on body 0
+    a = pallas_accel_mxu(jnp.asarray(q), jnp.asarray(gm), eps=1e-3,
+                         tile_i=32, tile_j=32, interpret=True)
+    a2 = pallas_accel_mxu(jnp.asarray(q[:n // 2]),
+                          jnp.asarray(gm[:n // 2]), eps=1e-3,
+                          tile_i=32, tile_j=32, interpret=True)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_allclose(np.asarray(a)[:n // 2], np.asarray(a2),
+                               rtol=1e-5, atol=1e-30)
+
+
 def test_isplit_step_matches_monolithic():
     """pallas_step_isplit (the >60s-watchdog workaround for very large N)
     computes the identical result to the monolithic step: row sums are
