@@ -258,10 +258,12 @@ def _pallas_accel_mxu(q, gm, *, eps: float, tile_i: int, tile_j: int,
 
 
 def pallas_step_mxu(q, v, gm, *, eps: float, dt: float, tile_i: int = 512,
-                    tile_j: int = 2048, interpret: bool = False):
+                    tile_j: int = 2048, interpret: bool = False,
+                    gram_precision=None, accum_precision=None):
     """Fused step on the MXU kernel (bench/throughput path)."""
     a = pallas_accel_mxu(q, gm, eps=eps, tile_i=tile_i, tile_j=tile_j,
-                         interpret=interpret)
+                         interpret=interpret, gram_precision=gram_precision,
+                         accum_precision=accum_precision)
     v = v + a * dt
     q = q + v * dt
     return q, v
