@@ -50,6 +50,24 @@ def ensure_cpu_platform() -> None:
             pass
 
 
+def enable_persistent_compile_cache() -> str:
+    """Point JAX at an on-disk compilation cache and return its path.
+
+    The XLA:CPU e64 softfloat mega-graphs compile in minutes-to-tens-of-
+    minutes cold; a persistent cache makes repeat runs (tests, the
+    multichip dryrun) warm. Default location is NBODY_JAX_CACHE or
+    ~/.cache/jax_comp; shared by tests/conftest.py and __graft_entry__.py
+    so they converge on the same warm cache. NOTE: this mutates global
+    jax config for the rest of the process (intended for entry points,
+    not library code)."""
+    path = os.environ.get(
+        "NBODY_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_comp"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    return path
+
+
 def device_for(platform: str | None):
     """Return the first device of `platform` ('cpu', 'tpu', ...), or the
     default device when platform is None/'auto'."""

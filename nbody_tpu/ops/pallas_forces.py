@@ -153,7 +153,9 @@ def _accel_kernel_mxu(qi4_ref, qj4_ref, gmn_ref, out_ref, *, eps2: float,
     self-term w_ii = gm_i/eps^3 is ~1e9x the physical terms, and its
     algebraic cancellation between the two sums is destroyed by f32
     accumulation (measured: leaving it in makes the result pure noise).
-    The mask costs 2 VPU ops/pair (global-index compare + select).
+    The mask runs only on the one j-tile per i block that contains the
+    diagonal crossing (when TJ >= TI), so its ~3 VPU ops/pair cost is
+    amortized to ~3*TI/n.
 
     Numerics: the Gram d2 cancels catastrophically for near pairs
     (rel. error ~ulp * (|q|/d)^2 vs the dq form's ~ulp), so this is a
@@ -185,14 +187,35 @@ def _accel_kernel_mxu(qi4_ref, qj4_ref, gmn_ref, out_ref, *, eps2: float,
     d2 = jnp.maximum(d2, 0.5 * eps2)
     inv = lax.rsqrt(d2)
     w = gmn_ref[0:1, :] * (inv * inv * inv)                       # (TI, TJ)
-    # zero the self-interaction row/col crossing (see docstring)
     ti, tj = w.shape
-    rows = pl.program_id(0) * ti + lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    i = pl.program_id(0)
+    rows = i * ti + lax.broadcasted_iota(jnp.int32, w.shape, 0)
     cols = j * tj + lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    w = jnp.where(rows == cols, 0.0, w)
-    out_ref[:] += lax.dot_general(w, qj4, (((1,), (0,)), ((), ())),
-                                  precision=accum_precision,
-                                  preferred_element_type=jnp.float32)
+    if tj >= ti:
+        # The diagonal crossing exists only in the j-tile that contains this
+        # i block's global row range (TI <= TJ: exactly one such j). Masking
+        # only there keeps the mask's select off every other grid cell.
+        # (program_id math stays at kernel top level: the interpret-mode HLO
+        # lowering can't bind program_id inside a pl.when branch body.)
+        diag_j = (i * ti) // tj
+
+        @pl.when(j == diag_j)
+        def _():
+            out_ref[:] += lax.dot_general(
+                jnp.where(rows == cols, 0.0, w), qj4,
+                (((1,), (0,)), ((), ())), precision=accum_precision,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(j != diag_j)
+        def _():
+            out_ref[:] += lax.dot_general(
+                w, qj4, (((1,), (0,)), ((), ())), precision=accum_precision,
+                preferred_element_type=jnp.float32)
+    else:
+        # zero the self-interaction crossing unconditionally
+        out_ref[:] += lax.dot_general(
+            jnp.where(rows == cols, 0.0, w), qj4, (((1,), (0,)), ((), ())),
+            precision=accum_precision, preferred_element_type=jnp.float32)
 
 
 def pallas_accel_mxu(q, gm, *, eps: float, tile_i: int = 512,

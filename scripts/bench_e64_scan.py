@@ -35,11 +35,14 @@ from nbody_tpu.ops.pallas_forces_e64 import pallas_accel_e64
 N = int(os.environ.get("BE_N", 128))
 BATCH = int(os.environ.get("BE_BATCH", 2))
 STEPS = int(os.environ.get("BE_STEPS", 200))
-# "r,t,s r,t,s ..." pallas variants; empty string skips pallas
+# "r,t,s r,t,s ..." pallas variants; empty string skips pallas. Default
+# rows_i = N//128 (always Mosaic-legal: the block rule is rows_i % 8 == 0
+# or rows_i == N//128), so defaults degrade gracefully at any BE_N.
+_R = max(1, N // 128)
 VARIANTS = [tuple(int(x) for x in v.split(","))
             for v in os.environ.get(
-                "BE_VARIANTS", f"1,{min(N,128)},8 1,{min(N,128)},16 "
-                f"1,{min(N,128)},32").split()]
+                "BE_VARIANTS", f"{_R},{min(N,128)},8 {_R},{min(N,128)},16 "
+                f"{_R},{min(N,128)},32").split()]
 G, EPS, DT = 6.674e-11, 1e-3, 60.0
 
 
@@ -96,6 +99,13 @@ def main():
     for rows_i, tile_j, sub_j in VARIANTS:
         if N % (rows_i * 128) or N % tile_j or tile_j % sub_j:
             print(f"skip r{rows_i} t{tile_j} s{sub_j}: shape", flush=True)
+            continue
+        if rows_i % 8 and rows_i != N // 128:
+            # Mosaic block rule (same filter as bench_e64_pallas.py):
+            # a (rows_i, 128) block lowers only if rows_i is a sublane
+            # multiple or the grid covers the full i range in one block.
+            print(f"skip r{rows_i} t{tile_j} s{sub_j}: block rule",
+                  flush=True)
             continue
         run = make_scan(lambda qb, r=rows_i, t=tile_j, s=sub_j:
                         pallas_accel_e64(qb, gm, eps=EPS, rows_i=r,

@@ -48,10 +48,12 @@ N = int(os.environ.get("BM_N", 65536))
 STEPS = int(os.environ.get("BM_STEPS", 20))
 TILE_I = int(os.environ.get("BM_TILE_I", 512))
 TILE_J = int(os.environ.get("BM_TILE_J", 2048))
-PREC = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
-        "highest": lax.Precision.HIGHEST}
+# Mosaic's dot lowering supports only DEFAULT (1-pass bf16) and HIGHEST
+# (6-pass bf16x3 f32-faithful); HIGH raises NotImplementedError (measured).
+PREC = {"default": lax.Precision.DEFAULT, "highest": lax.Precision.HIGHEST}
 VARIANTS = os.environ.get(
-    "BM_VARIANTS", "default:default,high:default,high:high,highest:highest"
+    "BM_VARIANTS",
+    "default:default,highest:default,default:highest,highest:highest"
 ).split(",")
 
 
@@ -77,15 +79,15 @@ def main():
             t0 = time.perf_counter()
             out = jax.block_until_ready(run(qf, vf))
             el = time.perf_counter() - t0
-        assert bool(jnp.isfinite(out[0]).all())
-        return float(N) * N * STEPS / el, el
+        finite = bool(jnp.isfinite(out[0]).all())
+        return float(N) * N * STEPS / el, el, finite
 
     results = {}
     # VPU baseline: force eval (accuracy anchor) + step throughput
     a_vpu = pallas_accel(qf, gm, eps=eps, tile_i=TILE_I, tile_j=TILE_J)
     a_vpu = np.asarray(a_vpu, np.float64)
     rms = float(np.sqrt((a_vpu ** 2).mean()))
-    pps, el = bench(lambda q, v: pallas_step(
+    pps, el, _ = bench(lambda q, v: pallas_step(
         q, v, gm, eps=eps, dt=dt, tile_i=TILE_I, tile_j=TILE_J))
     results["vpu_dq"] = {"pairs_per_sec": pps, "elapsed_s": el}
     print(f"vpu_dq            {pps:.4g} pairs/s", flush=True)
@@ -98,15 +100,17 @@ def main():
         d = np.asarray(a, np.float64) - a_vpu
         err_max = float(np.abs(d).max() / rms)
         err_rms = float(np.sqrt((d ** 2).mean()) / rms)
-        pps, el = bench(lambda q, v: pallas_step_mxu(
+        print(f"mxu {var:<17s} err max/rms = {err_max:.3g} / {err_rms:.3g}",
+              flush=True)
+        pps, el, finite = bench(lambda q, v: pallas_step_mxu(
             q, v, gm, eps=eps, dt=dt, tile_i=TILE_I, tile_j=TILE_J,
             gram_precision=gp, accum_precision=ap))
         results[f"mxu_{var}"] = {
-            "pairs_per_sec": pps, "elapsed_s": el,
+            "pairs_per_sec": pps, "elapsed_s": el, "finite_after_steps": finite,
             "err_max_over_rms": err_max, "err_rms_over_rms": err_rms,
         }
-        print(f"mxu {var:<17s} {pps:.4g} pairs/s   "
-              f"err max/rms = {err_max:.3g} / {err_rms:.3g}", flush=True)
+        print(f"mxu {var:<17s} {pps:.4g} pairs/s   finite={finite}",
+              flush=True)
 
     print(json.dumps({"n": N, "steps": STEPS, "tile_i": TILE_I,
                       "tile_j": TILE_J, "results": results}))

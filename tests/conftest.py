@@ -23,8 +23,11 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the XLA:CPU softfloat (e64) mega-graphs
 # take tens of minutes to compile (a CPU-backend pathology — CLAUDE.md);
 # caching makes repeated RUN_SLOW runs pay that once per code change.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# Shared location (NBODY_JAX_CACHE override) with __graft_entry__.py.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nbody_tpu.backend import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
 
 sys.path.insert(0, os.path.dirname(__file__))
 
