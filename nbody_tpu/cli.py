@@ -56,6 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def read_input_header_n(path: str) -> int:
+    """Peek the body count from a testcase header (cheap CLI pre-checks)."""
+    with open(path, "r") as f:
+        head = f.readline().split()
+    if not head:
+        from .io import SceneFormatError
+        raise SceneFormatError(f"{path}: missing header")
+    return int(head[0])
+
+
 def parse_mesh_spec(spec: str):
     """'scen=S,body=B' -> {'scen': S, 'body': B} (order preserved)."""
     axes = {}
@@ -97,12 +107,33 @@ def main(argv=None) -> int:
     from .utils.profiling import PhaseTimers, pair_interactions
 
     mesh = None
+    if args.tile is not None and args.tile < 1:
+        raise SystemExit(f"--tile must be a positive row count, "
+                         f"got {args.tile}")
     if args.mesh is not None:
         if args.precision == "exact":
             raise SystemExit("--mesh does not apply to the native serial "
                              "core (precision 'exact')")
         from .parallel import make_mesh
         mesh = make_mesh(parse_mesh_spec(args.mesh))
+        if args.tile is not None:
+            # The engine pads the scene so each shard's row block is a
+            # multiple of the tile (engine.py mesh path); an oversized
+            # tile silently multiplies the padded problem size. Surface
+            # that before minutes of compile/solve.
+            from .utils.padding import bucket_size
+            body = mesh.shape["body"]
+            scene_n = read_input_header_n(args.input)
+            natural = -(-bucket_size(scene_n) // body) * body
+            lcm = body * args.tile
+            padded = -(-natural // lcm) * lcm
+            if padded > 2 * natural:
+                raise SystemExit(
+                    f"--tile {args.tile} would pad the scene from "
+                    f"{natural} to {padded} bodies on a body={body} mesh "
+                    f"(each shard's rows round up to a tile multiple); "
+                    f"pick a tile <= {natural // body} that divides the "
+                    f"per-shard rows")
 
     timers = PhaseTimers()
     t0 = time.perf_counter()

@@ -131,9 +131,24 @@ def write_output(path: str, min_dist: float, hit_time_step: int,
 
 
 def parse_output(text: str):
-    """Parse a 3-line .out file into (min_dist, hit_step, device_id, cost)."""
+    """Parse a 3-line .out file into (min_dist, hit_step, device_id, cost).
+
+    Validates like read_input (loud SceneFormatError on malformed text):
+    exactly three lines — min_dist, integer hit step, then
+    `device_id missile_cost`."""
     lines = text.strip().split("\n")
-    min_dist = float(lines[0])
-    hit_step = int(lines[1])
-    dev_s, cost_s = lines[2].split()
-    return min_dist, hit_step, int(dev_s), float(cost_s)
+    if len(lines) != 3:
+        raise SceneFormatError(
+            f"output: expected 3 lines, got {len(lines)}")
+    try:
+        min_dist = float(lines[0])
+        hit_step = int(lines[1])
+        parts = lines[2].split()
+        if len(parts) != 2:
+            raise ValueError(
+                f"line 3 must be 'device_id missile_cost', got "
+                f"{lines[2]!r}")
+        dev, cost = int(parts[0]), float(parts[1])
+    except ValueError as e:
+        raise SceneFormatError(f"output: {e}") from e
+    return min_dist, hit_step, dev, cost

@@ -95,6 +95,16 @@ def main():
     print(f"full _p12_chunk   {t_full:7.3f} s  "
           f"{t_full / STEPS * 1e3:6.3f} ms/step", flush=True)
 
+    if os.environ.get("PE_PALLAS", "1") not in ("0", "off"):
+        # same chunk with the force routed through the Mosaic e64 kernel
+        # (deterministic codegen — immune to the XLA compile-service
+        # quality swings documented in CLAUDE.md / ACCURACY.md)
+        t_pl = timeit(lambda: _p12_chunk(
+            qe, ve, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
+            fst_j, t0j, pallas_e64=True, **kw))
+        print(f"full chunk PALLAS {t_pl:7.3f} s  "
+              f"{t_pl / STEPS * 1e3:6.3f} ms/step", flush=True)
+
     # ---- stripped scans (same shapes, same xs plumbing) --------------------
     offs = jnp.arange(1, STEPS + 1, dtype=jnp.int32)
 
@@ -112,6 +122,18 @@ def main():
         t, fst_t = x
         m_eff = m0_s + m_half * fst_t
         q, v = symplectic_euler_step(q, v, m_eff, G=cfg.G, eps=cfg.eps,
+                                     dt=cfg.dt)
+        return (q, v, min_d2, hit, arr, q_snap, v_snap), None
+
+    def body_force_int_const_m(carry, x):
+        # force+Euler with CONSTANT masses (no per-step oscillation chain):
+        # isolates the cost of the m_eff = m0 + m_half*fst softfloat ops —
+        # this is exactly the shape bench_e64_scan.py measured (0.128
+        # ms/eval on 2026-08-18), so it also re-anchors that number in the
+        # same process/compile epoch as the full chunk.
+        q, v, min_d2, hit, arr, q_snap, v_snap = carry
+        t, fst_t = x
+        q, v = symplectic_euler_step(q, v, m0_s, G=cfg.G, eps=cfg.eps,
                                      dt=cfg.dt)
         return (q, v, min_d2, hit, arr, q_snap, v_snap), None
 
@@ -155,6 +177,7 @@ def main():
         return (q, v, min_d2, hit, arr, q_snap, v_snap), None
 
     for name, body in (("force+integrate", body_force_int),
+                       ("force+int constm", body_force_int_const_m),
                        ("force only", body_force_only),
                        ("carries only", body_carries_only),
                        ("empty scan", body_empty)):

@@ -90,3 +90,25 @@ def test_cli_mesh_spec_errors():
         parse_mesh_spec("rows=2")
     with pytest.raises(ValueError):
         parse_mesh_spec("scen2")
+
+
+def test_cli_rejects_nonpositive_tile(tmp_path):
+    import pytest
+
+    from nbody_tpu.cli import main
+    with pytest.raises(SystemExit, match="--tile must be"):
+        main([B20, str(tmp_path / "o.out"), "--tile", "0",
+              "--mesh", "scen=1,body=2", "--precision", "f64",
+              "--platform", "cpu"])
+
+
+def test_cli_rejects_oversized_tile(tmp_path):
+    # n=20 buckets to 128; body=2 -> 64 rows/shard; tile=4096 would pad
+    # the scene to 8192 bodies -- refused with a friendly message.
+    import pytest
+
+    from nbody_tpu.cli import main
+    with pytest.raises(SystemExit, match="would pad the scene"):
+        main([B20, str(tmp_path / "o.out"), "--tile", "4096",
+              "--mesh", "scen=1,body=2", "--precision", "f64",
+              "--platform", "cpu"])

@@ -49,3 +49,13 @@ def test_device_mask():
     mask = scene.device_mask()
     assert mask.sum() == scene.device_cnt
     assert set(np.nonzero(mask)[0]) == set(scene.device_idx)
+
+
+def test_parse_output_rejects_malformed():
+    import pytest
+
+    from nbody_tpu.io import SceneFormatError
+    for bad in ("", "1.0\n5", "1.0\n5\n3", "1.0\nx\n3 2.0",
+                "1.0\n5\n3 2.0 extra", "1.0\n5\n3 2.0\n4th line"):
+        with pytest.raises(SceneFormatError):
+            parse_output(bad)
