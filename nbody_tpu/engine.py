@@ -234,6 +234,30 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         timers = PhaseTimers()
 
     fst = oscillation_table(cfg)
+    import os as _os
+    if (run_scene.device_cnt > 0 and run_scene.n <= 128
+            and _os.environ.get("NBODY_P123", "auto") not in ("0", "off")):
+        # Overhead-bound sizes: the FUSED P1+P2+P3 scan (direct_sum.
+        # run_problems_123) — scenario rows are measured free up to ~8
+        # at n<=128 (results/ACCURACY.md round 4), so one pass over the
+        # horizon answers everything the phased path needs up to three
+        # passes for. Bit-exact vs the phased path by construction
+        # (tests/test_p123_fused.py).
+        from .models.direct_sum import run_problems_123
+        with timers.phase("problems_fused"):
+            p123 = run_problems_123(run_scene, fst, run_cfg, device=device,
+                                    dtype=dtype, fast=fast,
+                                    checkpoint_path=checkpoint_path)
+        gravity_device_id, missile_cost = -1, 0.0
+        if p123.hit_time_step != -2 and scene.device_cnt > 0:
+            gravity_device_id, missile_cost = select_winner(
+                scene, p123.arrivals, p123.saved, cfg)
+        return Answers(
+            min_dist=float(rescale.unscale_length(p123.min_dist)),
+            hit_time_step=p123.hit_time_step,
+            gravity_device_id=gravity_device_id,
+            missile_cost=missile_cost)
+
     with timers.phase("problem_1_2"):
         p12 = run_problems_12(run_scene, fst, run_cfg, device=device,
                               dtype=dtype, fast=fast,

@@ -305,6 +305,123 @@ def _p12_chunk(q, v, min_d2, hit, arr, q_snap, v_snap, m0_s, m_half, dev_idx,
     return carry
 
 
+def _bcast_row(x, row: int):
+    """Row `row` of a leading-batch array/TF3/E64 broadcast to the full
+    batch shape (used to mirror the P2 state into pending P3 rows)."""
+    if isinstance(x, TF3):
+        return TF3(*(jnp.broadcast_to(c[row:row + 1], c.shape)
+                     for c in (x.hi, x.mid, x.lo)))
+    if isinstance(x, E64):
+        return E64(jnp.broadcast_to(x.hi[row:row + 1], x.hi.shape),
+                   jnp.broadcast_to(x.lo[row:row + 1], x.lo.shape))
+    return jnp.broadcast_to(x[row:row + 1], x.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
+                     "missile_speed", "dist3_mode", "planet", "asteroid",
+                     "fast", "f64_grid", "pallas_e64"),
+)
+def _p123_chunk(q, v, min_d2, hit, arr, p3_hit, m0_s, m_half, dev_idx,
+                fst_chunk, t0, *, n_steps, dt, eps, G, planet_radius,
+                missile_speed, dist3_mode, planet, asteroid, fast=False,
+                f64_grid=False, pallas_e64=False):
+    """FUSED Problems 1+2+3: one scan over rows [P1, P2, P3_0..P3_{D-1}].
+
+    The reference runs Problem 3 as snapshot-and-resume AFTER Problem 2
+    (hw5.cu:265-287 snapshots, 438-530 resumes), overlapping only P1 with
+    P3 across its two GPUs (hw5.cu:566 vs the late join at :604). Here
+    the P3 scenarios march IN THE SAME scan: each P3 row is overwritten
+    with the P2 row's state every step until its missile arrives (the
+    per-step select IS the snapshot — copying the post-update P2 state at
+    the arrival step reproduces problem3_preprocess_gpu's snapshot
+    exactly), then evolves with its device's mass zeroed — identical
+    arithmetic to the resumed simulation, so answers are bit-exact vs the
+    phased path while the whole solve makes ONE pass over the horizon.
+
+    Why: measured on v5e (results/ACCURACY.md round 4), the small-n e64
+    per-step cost is fixed-overhead-bound — scenario rows are FREE up to
+    ~8 (batch 2: 0.363 ms/step, batch 8: 0.365). The phased path pays
+    that fixed cost 2-3 times over (P12 to the hit, the P1 tail, then
+    P3); fused pays it once.
+
+    q, v: (2+D, n, 3); m0_s/m_half: (2+D, n) — row 0 devices-off, row 1
+    devices-on, row 2+k devices-on with device k's mass zeroed.
+    arr: (D,) arrival steps (-2 pending); p3_hit: (D,) bool.
+    """
+    is_tf = isinstance(q, TF3)
+    is_e64 = isinstance(q, E64)
+    if is_tf:
+        pr = tfloat.const(planet_radius)
+        r2 = pr * pr
+        sdt = tfloat.const(missile_speed * dt)
+    elif is_e64:
+        r2 = f64emu.const_e(float(planet_radius) * float(planet_radius))
+        sdt = f64emu.const_e(float(missile_speed) * float(dt))
+    else:
+        f64 = q.dtype
+        r2 = planet_radius * planet_radius
+        sdt = missile_speed * dt
+
+    D = arr.shape[0]
+    offs = jnp.arange(1, fst_chunk.shape[0] + 1, dtype=jnp.int32)
+    xs = (t0.astype(jnp.int32) + offs, fst_chunk)
+
+    def body(carry, x):
+        q, v, min_d2, hit, arr, p3_hit = carry
+        t, fst_t = x
+        in_range = t <= jnp.int32(n_steps)
+        pending = arr == -2                     # pre-update arrival state
+        m_eff = m0_s + m_half * fst_t
+        q2, v2 = symplectic_euler_step(q, v, m_eff, G=G, eps=eps, dt=dt,
+                                       dist3_mode=dist3_mode, fast=fast,
+                                       f64_grid=f64_grid,
+                                       pallas_e64=pallas_e64)
+        q = _select(in_range, q2, q)
+        v = _select(in_range, v2, v)
+        # Problem 1 (row 0): running min.
+        d2_pa0 = _sq_dist(q[0, planet], q[0, asteroid], grid=f64_grid)
+        min_d2 = _select(in_range, _minimum(min_d2, d2_pa0), min_d2)
+        # Arrivals against the P2 row's CURRENT planet (hw5.cu:270-274).
+        d2_pd = _sq_dist(q[1, planet], q[1, dev_idx], grid=f64_grid)  # (D,)
+        if is_tf:
+            tt = t.astype(jnp.float32)
+            md = sdt * TF3(tt, jnp.zeros_like(tt), jnp.zeros_like(tt))
+            md2 = md * md
+            if f64_grid:
+                md2 = tfloat.round53(md2)
+        elif is_e64:
+            md = sdt * E64(*f64emu.from_i32(t))
+            md2 = md * md
+        else:
+            md = sdt * t.astype(f64)
+            md2 = md * md
+        arrived = pending & (d2_pd < md2) & in_range
+        arr = jnp.where(arrived, t, arr)
+        # Mirror the P2 state into still-pending AND just-arrived P3 rows
+        # (post-update, exactly problem3_preprocess_gpu's snapshot at the
+        # arrival step; rows arrived earlier keep their own evolution).
+        # (out-of-range steps: q[1] is frozen and pending rows already
+        # mirror it, so the copy is a no-op — ragged final chunks exact)
+        copy_rows = jnp.concatenate([jnp.zeros((2,), bool), pending])
+        q = _select(copy_rows[:, None, None], _bcast_row(q, 1), q)
+        v = _select(copy_rows[:, None, None], _bcast_row(v, 1), v)
+        # P3 hit checks: from the arrival step onward (at t == arr the
+        # state is the fresh snapshot — the resume-step check of
+        # missile_cost_gpu, hw5.cu:292-298).
+        d2_pa3 = _sq_dist(q[2:, planet], q[2:, asteroid], grid=f64_grid)
+        p3_hit = p3_hit | ((arr != -2) & (d2_pa3 < r2) & in_range)
+        # Problem 2 hit (row 1), guarded like hw5.cu:255.
+        d2_pa = _sq_dist(q[1, planet], q[1, asteroid], grid=f64_grid)
+        hit = jnp.where((hit == -2) & (d2_pa < r2) & in_range, t, hit)
+        return (q, v, min_d2, hit, arr, p3_hit), None
+
+    carry = (q, v, min_d2, hit, arr, p3_hit)
+    carry, _ = lax.scan(body, carry, xs)
+    return carry
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "dist3_mode", "planet",
@@ -535,6 +652,189 @@ def run_problems_12(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         q_snaps=np.asarray(q_snap),
         v_snaps=np.asarray(v_snap),
     )
+
+
+@dataclasses.dataclass
+class P123Result:
+    min_dist: float
+    hit_time_step: int
+    arrivals: np.ndarray       # (D,) missile-arrival step per device
+    saved: np.ndarray          # (D,) bool: destroying device k saves it
+
+
+def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
+                     dtype=np.float64, fast: bool = False,
+                     host_chunk: int | None = None,
+                     checkpoint_path: str | None = None) -> P123Result:
+    """Solve Problems 1, 2 AND 3 in one fused scan (see _p123_chunk).
+
+    The small-n fast path: bit-exact answers equal to
+    run_problems_12 + run_problem_3 (tests/test_p123_fused.py), in ONE
+    pass over the horizon instead of up to three. Routed by the engine
+    for overhead-bound scene sizes (padded n <= 128, where extra
+    scenario rows are measured free — results/ACCURACY.md round 4);
+    the phased drivers remain the path for compute-bound sizes, where
+    running every P3 row the full horizon would cost real work.
+    """
+    n = scene.n
+    is_tf = _is_tf_dtype(dtype)
+    is_ext = _is_ext(dtype)
+    conv = _make_converter(dtype)
+    put = functools.partial(jax.device_put, device=device)
+    host_dtype = np.float64 if is_ext else dtype
+    q0 = np.asarray(scene.q, dtype=host_dtype)
+    v0 = np.asarray(scene.v, dtype=host_dtype)
+    m0 = np.asarray(scene.m, dtype=host_dtype)
+    mask = np.asarray(scene.device_mask(), dtype=host_dtype)
+    D = scene.device_cnt
+
+    # Rows: [P1 devices-off, P2 devices-on, P3_k devices-on minus device k]
+    m_rows = [m0 * (1.0 - mask), m0]
+    for k in range(D):
+        mk = m0.copy()
+        mk[int(scene.device_idx[k])] = 0.0
+        m_rows.append(mk)
+    m0_s_h = np.stack(m_rows)
+    m0_s = put(conv(m0_s_h))
+    m_half = put(conv(0.5 * m0_s_h * mask[None, :]))
+    dev_idx = put(np.asarray(scene.device_idx, dtype=np.int32))
+    fstd = np.asarray(fst, dtype=host_dtype)
+
+    d0 = q0[scene.planet] - q0[scene.asteroid]
+    d2_0 = d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
+    r2 = np.asarray(cfg.planet_radius, dtype=host_dtype) ** 2
+
+    R = 2 + D
+    carry = (
+        put(conv(np.stack([q0] * R))),
+        put(conv(np.stack([v0] * R))),
+        put(conv(np.asarray(d2_0))),
+        put(np.int32(0 if d2_0 < r2 else -2)),
+        put(np.full((D,), -2, dtype=np.int32)),
+        put(np.zeros((D,), dtype=bool)),
+    )
+
+    on_accel = _on_accelerator(device)
+    pk = _use_pallas_e64(dtype, device, n)
+    chunker = None
+    if host_chunk is None:
+        if not on_accel:
+            host_chunk = min(cfg.n_steps, 25000)
+        else:
+            from ..utils.chunking import AdaptiveChunker
+            prior = (_E64_SEC_PER_PAIR_STEP if _is_e64(dtype)
+                     else _DD_SEC_PER_PAIR_STEP)
+            chunker = AdaptiveChunker(prior * R * n * n, cfg.n_steps)
+    t0 = 0
+    hit_h = int(np.asarray(carry[3]))
+    p1_carry = None                 # (q, v, min_d2) after the P1-only switch
+    frozen = None                   # (hit, arr, p3_hit)
+
+    def decided(hit_h, arr_h, p3h_h) -> bool:
+        # P2 settled, and every P3 row is either hit, still un-arrived
+        # (any future arrival is > hit => ineligible), or arrived too late
+        if hit_h == -2:
+            return False
+        return bool(np.all(p3h_h | (arr_h == -2) | (arr_h > hit_h)))
+
+    if checkpoint_path is not None:
+        import os
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+        fingerprint = _solver_fingerprint(scene, cfg, dtype, fast) + ":p123"
+        if os.path.exists(checkpoint_path):
+            step, qc, vc, extra, meta = load_checkpoint(checkpoint_path)
+            if meta.get("fingerprint") != fingerprint:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written for a "
+                    "different scene/config/precision/solver phase path — "
+                    "refusing to resume (delete it or pass a fresh path)")
+            t0 = int(step)
+            if t0 > cfg.n_steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} is at step {t0}, beyond "
+                    f"this run's horizon n_steps={cfg.n_steps}")
+            unpack = _ckpt_unpack_fn(dtype)
+            carry = (put(unpack(qc)), put(unpack(vc)),
+                     put(unpack(extra["min_d2"])),
+                     put(extra["hit"].astype(np.int32)),
+                     put(extra["arr"].astype(np.int32)),
+                     put(extra["p3_hit"].astype(bool)))
+            hit_h = int(extra["hit"])
+    while t0 < cfg.n_steps:
+        if p1_carry is None and decided(
+                hit_h, np.asarray(carry[4]), np.asarray(carry[5])):
+            qd, vd, min_d2, hit, arr, p3_hit = carry
+            frozen = (hit, arr, p3_hit)
+            p1_carry = (qd[0:1], vd[0:1], min_d2)
+        hc = chunker.start() if chunker is not None else host_chunk
+        cs = min(hc, cfg.n_steps - t0)
+        fst_chunk = np.zeros(hc, dtype=host_dtype)
+        fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
+        if p1_carry is not None:
+            p1_carry = _p1_chunk(
+                *p1_carry, put(conv(fst_chunk)), put(np.int32(t0)),
+                m0_s[0:1], m_half[0:1],
+                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+                dist3_mode=cfg.dist3_mode or "dsqrt",
+                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+                f64_grid=_is_grid(dtype), pallas_e64=pk,
+            )
+            watch = p1_carry
+        else:
+            carry = _p123_chunk(
+                *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
+                put(np.int32(t0)),
+                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+                planet_radius=cfg.planet_radius,
+                missile_speed=cfg.missile_speed,
+                dist3_mode=cfg.dist3_mode or "dsqrt",
+                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+                f64_grid=_is_grid(dtype), pallas_e64=pk,
+            )
+            watch = carry
+        if chunker is not None or on_accel:
+            jax.block_until_ready(watch)
+        if chunker is not None:
+            chunker.finish(cs)
+        if on_accel:
+            _guard_finite(watch[0], watch[2],
+                          context=f"in fused P1/P2/P3 after step {t0 + cs}")
+        t0 += cs
+        if p1_carry is None:
+            hit_h = int(np.asarray(carry[3]))
+        if checkpoint_path is not None:
+            pack = _ckpt_pack
+            if p1_carry is not None:
+                qd, vd, min_d2 = p1_carry
+                hit, arr, p3_hit = frozen
+            else:
+                qd, vd, min_d2, hit, arr, p3_hit = carry
+            save_checkpoint(
+                checkpoint_path, step=t0, q=pack(qd), v=pack(vd),
+                extra={"min_d2": pack(min_d2),
+                       "hit": np.asarray(hit), "arr": np.asarray(arr),
+                       "p3_hit": np.asarray(p3_hit)},
+                meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint,
+                      "phase": "p1" if p1_carry is not None else "p123"})
+
+    if p1_carry is not None:
+        _, _, min_d2 = p1_carry
+        hit, arr, p3_hit = frozen
+    else:
+        _, _, min_d2, hit, arr, p3_hit = carry
+    arr_h = np.asarray(arr)
+    hit_h = int(hit)
+    eligible = (arr_h != -2) & (arr_h <= hit_h) if hit_h != -2 \
+        else np.zeros((D,), bool)
+    saved = eligible & ~np.asarray(p3_hit)
+    if is_tf:
+        min_dist = float(np.sqrt(tfloat.to_f64(min_d2)))
+    elif _is_e64(dtype):
+        min_dist = float(np.sqrt(f64emu.e64_to_f64(min_d2)))
+    else:
+        min_dist = float(np.sqrt(np.asarray(min_d2)))
+    return P123Result(min_dist=min_dist, hit_time_step=hit_h,
+                      arrivals=arr_h, saved=saved)
 
 
 @functools.partial(

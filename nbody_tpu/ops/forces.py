@@ -386,6 +386,92 @@ def pairwise_accel_e64(q, m_eff, *, G: float, eps: float,
     return E64(*fe.pack_norm(*acc))
 
 
+def pairwise_accel_e64_T(q, m_eff, *, G: float, eps: float,
+                         j_tile: int | None = None):
+    """pairwise_accel_e64 in AXIS-FIRST layout: q is E64 (..., 3, n),
+    m_eff (..., n); returns E64 (..., 3, n). Bit-identical to the
+    axis-last kernel (same op sequence, same j-ascending fold — only the
+    array orientation differs, and softfloat ops are elementwise).
+
+    Why it exists (measured, results/ACCURACY.md round 4): with the
+    (.., n, 3) layout every fold/integrate softfloat primitive runs on
+    arrays whose minor (lane) dimension is 3 — 3 of 128 lanes live, so
+    each op touches 32 padded VPU tiles. Putting the n bodies in lanes
+    packs them: the serial fold's n add_u per step drop from 32 padded
+    tiles to ~1, and the per-pair chain runs (j_tile sublanes, n lanes)
+    fully packed instead of (n sublanes, j_tile<=64 of 128 lanes). At the
+    graded small-n buckets (n=128) this is the difference between the
+    solver being layout-bound and compute-bound.
+    """
+    from . import f64emu as fe
+    E64 = fe.E64
+
+    n = q.shape[-1]
+    if j_tile is None:
+        j_tile = 64 if n > 256 else max(4, (n + 3) // 4)   # see axis-last
+    npad = (-n) % j_tile
+    qh, ql = q.hi, q.lo
+    mh, ml = m_eff.hi, m_eff.lo
+    if npad:
+        padw = [(0, 0)] * (qh.ndim - 1) + [(0, npad)]
+        qh = jnp.pad(qh, padw, mode="edge")
+        ql = jnp.pad(ql, padw, mode="edge")
+        mh = jnp.pad(mh, padw)
+        ml = jnp.pad(ml, padw)
+    nb = (n + npad) // j_tile
+    # j-tile axis leading: (nb, ..., [3,] j_tile)
+    tile = lambda a: jnp.moveaxis(
+        a.reshape(a.shape[:-1] + (nb, j_tile)), -2, 0)
+    qth = tile(qh)
+    qtl = tile(ql)
+    mth = tile(mh)
+    mtl = tile(ml)
+
+    eps2_u = fe.unpack(*(jnp.asarray(x) for x in
+                         fe.from_f64(float(eps) * float(eps))))
+    Gc_u = fe.unpack(*(jnp.asarray(x) for x in fe.from_f64(float(G))))
+    # i side: bodies in lanes, one broadcast row per axis — (..., 1, n)
+    qi_u = [fe.unpack(q.hi[..., k, None, :], q.lo[..., k, None, :])
+            for k in range(3)]
+
+    def tile_terms(qth_, qtl_, mth_, mtl_):
+        # j side: tile bodies in sublanes — (..., j_tile, 1)
+        qj = [fe.unpack(qth_[..., k, :, None], qtl_[..., k, :, None])
+              for k in range(3)]
+        dq = [fe.add_u(*qj[k], *fe.neg_u(*qi_u[k])) for k in range(3)]
+        d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
+                                          *fe.sqr_u(*dq[1])),
+                                *fe.sqr_u(*dq[2])),
+                      *eps2_u)
+        d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))
+        bm, rb, nbm = fe._div_prep(d3[2], d3[3])
+        mt_u = fe.unpack(mth_[..., :, None], mtl_[..., :, None])
+        gmj = fe.mul_u(*Gc_u, *mt_u)                       # (..., T, 1)
+        return [fe._div_core(*fe.mul_u(*gmj, *dq[k]), *d3, bm, rb, nbm)
+                for k in range(3)]
+
+    def fold_serial(terms, acc):
+        # spec's running j-ascending accumulation, one (.., 3, n)-shaped
+        # add per j (3 sublanes, n lanes — the packed orientation)
+        t3 = [jnp.stack([t[c] for t in terms], axis=-2)
+              for c in range(4)]                           # (..., T, 3, n)
+        for j in range(t3[0].shape[-3]):
+            acc = fe.add_u(*acc, *(x[..., j, :, :] for x in t3))
+        return acc
+
+    def one_tile(acc, xs):
+        th, tl, mh_, ml_ = xs
+        return fold_serial(tile_terms(th, tl, mh_, ml_), acc), None
+
+    zq = jnp.zeros(q.shape, jnp.uint32)
+    acc0 = (zq, jnp.zeros(q.shape, jnp.int32), zq, zq)
+    if nb == 1:
+        acc, _ = one_tile(acc0, (qth[0], qtl[0], mth[0], mtl[0]))
+    else:
+        acc, _ = lax.scan(one_tile, acc0, (qth, qtl, mth, mtl))
+    return E64(*fe.pack_norm(*acc))
+
+
 def pairwise_accel_fast(q, m_eff, *, G: float, eps: float):
     """Throughput-oriented variant (fp32/bf16 paths): rsqrt instead of a
     divide, factored as w_ij = (G*m_j) * inv_d^3; a = sum_j w_ij * dq."""

@@ -128,10 +128,10 @@ def _chunk_scan(q, v, a, m0, m_half, fst_chunk, qc=None, vc=None, *,
 @functools.partial(jax.jit, static_argnames=("mesh", "n_sub", "dt", "eps",
                                              "G", "fast", "dist3_mode",
                                              "integrator", "tile", "kind",
-                                             "seed"))
-def _chunk_scan_mesh(q, v, a, m0, m_half, fst_chunk, *, mesh, n_sub, dt,
-                     eps, G, fast, dist3_mode, integrator, tile, kind,
-                     seed=False):
+                                             "seed", "compensated"))
+def _chunk_scan_mesh(q, v, a, m0, m_half, fst_chunk, qc=None, vc=None, *,
+                     mesh, n_sub, dt, eps, G, fast, dist3_mode, integrator,
+                     tile, kind, seed=False, compensated=False):
     """One on-mesh chunk of simulate(): the scan lives inside shard_map,
     so each step is local compute + ring/all-gather collectives with no
     host involvement (the multi-chip twin of _chunk_scan).
@@ -166,7 +166,7 @@ def _chunk_scan_mesh(q, v, a, m0, m_half, fst_chunk, *, mesh, n_sub, dt,
                                   tile=tile, dist3_mode=dist3_mode,
                                   fast=fast)
 
-    def local_chunk(q, v, a, m0, m_half, fst_chunk):
+    def local_chunk(q, v, a, m0, m_half, fst_chunk, qc=None, vc=None):
         if seed and integrator == "leapfrog":
             # the first chunk seeds the carried acceleration at the
             # initial positions with the first step's oscillating masses
@@ -174,28 +174,53 @@ def _chunk_scan_mesh(q, v, a, m0, m_half, fst_chunk, *, mesh, n_sub, dt,
             a = accel(q, m0 + m_half * fst_chunk[0])
 
         def body(carry, fst_t):
-            q, v, a = carry
+            if compensated:
+                # the mesh twin of _chunk_scan's Kahan accumulation
+                # (VERDICT r3 item 5): the compensation is per-body local
+                # state, so it shards with q/v and needs no collectives
+                q, v, a, qc, vc = carry
+            else:
+                q, v, a = carry
             m_eff = m0 + m_half * fst_t
             if integrator == "leapfrog":
-                vh = v + a * (0.5 * dt)
-                q = q + vh * dt
-                a = accel(q, m_eff)
-                v = vh + a * (0.5 * dt)
+                if compensated:
+                    v, vc = _comp_add(v, vc, a * (0.5 * dt))
+                    q, qc = _comp_add(q, qc, v * dt)
+                    a = accel(q, m_eff)
+                    v, vc = _comp_add(v, vc, a * (0.5 * dt))
+                else:
+                    vh = v + a * (0.5 * dt)
+                    q = q + vh * dt
+                    a = accel(q, m_eff)
+                    v = vh + a * (0.5 * dt)
+            elif compensated:
+                a2 = accel(q, m_eff)
+                v, vc = _comp_add(v, vc, a2 * dt)
+                q, qc = _comp_add(q, qc, v * dt)
             else:
                 a2 = accel(q, m_eff)
                 v = v + a2 * dt
                 q = q + v * dt
-            return (q, v, a), None
+            return ((q, v, a, qc, vc) if compensated else (q, v, a)), None
 
+        if compensated:
+            (q, v, a, qc, vc), _ = lax.scan(body, (q, v, a, qc, vc),
+                                            fst_chunk, length=n_sub)
+            return q, v, a, qc, vc
         (q, v, a), _ = lax.scan(body, (q, v, a), fst_chunk, length=n_sub)
         return q, v, a
 
     state = P(None, None) if kind == "e64" else P("body", None)
     mspec = P(None) if kind == "e64" else P("body")
+    if compensated:
+        specs = (state, state, state, mspec, mspec, P(None), state, state)
+        fn = jax.shard_map(local_chunk, mesh=mesh, in_specs=specs,
+                           out_specs=(state, state, state, state, state))
+        return fn(q, v, a, m0, m_half, fst_chunk, qc, vc)
     specs = (state, state, state, mspec, mspec, P(None))
     fn = jax.shard_map(local_chunk, mesh=mesh, in_specs=specs,
                        out_specs=(state, state, state))
-    return fn(q, v, a, m0, m_half, fst_chunk)
+    return (*fn(q, v, a, m0, m_half, fst_chunk), None, None)
 
 
 def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
@@ -225,8 +250,9 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     fp32 += quietly discards ~17 bits of the increment — compensation
     recovers them and extends the usable fp32 horizon (measured study:
     results/F32_HORIZON.md). Default (None): ON for precision 'f32',
-    off otherwise. The extended representations (tf3/e64/dd) carry their
-    own extra bits; requesting compensation there is an error.
+    single-device AND mesh (the compensation is per-body local state, so
+    it shards with q/v). The extended representations (tf3/e64/dd) carry
+    their own extra bits; requesting compensation there is an error.
 
     `on_chunk` is called with a host-side SimState after every chunk
     (checkpointing hook — pair with utils.checkpoint.CheckpointPolicy).
@@ -234,14 +260,12 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
     if integrator not in ("euler", "leapfrog"):
         raise ValueError(f"unknown integrator: {integrator}")
     if compensated is None:
-        compensated = precision == "f32" and mesh is None
-    elif compensated and (precision in ("tf3", "ddp", "dd+", "e64", "dd")
-                          or mesh is not None):
+        compensated = precision == "f32"
+    elif compensated and precision in ("tf3", "ddp", "dd+", "e64", "dd"):
         raise ValueError(
-            "compensated accumulation applies to the single-device "
-            "native-dtype paths (f32/f64); the extended representations "
-            "carry their own low-order bits, and the mesh chunk scan does "
-            "not thread a compensation carry")
+            "compensated accumulation applies to the native-dtype paths "
+            "(f32/f64, single-device or mesh); the extended "
+            "representations carry their own low-order bits")
     if n_steps is None:
         n_steps = cfg.n_steps
     if mesh is not None:
@@ -381,11 +405,12 @@ def simulate(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         fst_chunk = put(conv(np.asarray(fst[step + 1: step + 1 + n_sub],
                                         dtype=host_dtype)))
         if mesh is not None:
-            q, v, a = _chunk_scan_mesh(
-                q, v, a, m0j, m_halfj, fst_chunk, mesh=mesh, n_sub=n_sub,
-                dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G, fast=fast,
-                dist3_mode=run_cfg.dist3_mode, integrator=integrator,
-                tile=tile, kind=kind, seed=step == 0)
+            q, v, a, qc, vc = _chunk_scan_mesh(
+                q, v, a, m0j, m_halfj, fst_chunk, qc, vc, mesh=mesh,
+                n_sub=n_sub, dt=run_cfg.dt, eps=run_cfg.eps, G=run_cfg.G,
+                fast=fast, dist3_mode=run_cfg.dist3_mode,
+                integrator=integrator, tile=tile, kind=kind,
+                seed=step == 0, compensated=compensated)
         else:
             q, v, a, qc, vc = _chunk_scan(
                 q, v, a, m0j, m_halfj, fst_chunk, qc, vc, n_sub=n_sub,

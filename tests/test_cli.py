@@ -26,7 +26,9 @@ def test_cli_solves_and_writes(tmp_path):
     assert len(lines) == 3
     stats = json.loads(r.stderr.strip().split("\n")[-1])
     assert stats["n"] == 20 and stats["n_steps"] == 50
-    assert "problem_1_2" in stats["phases_s"]
+    # small scenes route through the fused P1+P2+P3 scan
+    assert ("problems_fused" in stats["phases_s"]
+            or "problem_1_2" in stats["phases_s"])
 
 
 def test_cli_missing_args():

@@ -104,3 +104,41 @@ def test_simulate_mesh_e64_bit_identical_to_single_device():
                    mesh=make_mesh({"body": 2}), integrator="leapfrog")
     np.testing.assert_array_equal(mlf.q.view(np.uint64),
                                   slf.q.view(np.uint64))
+
+
+def test_simulate_mesh_f32_kahan(scene):
+    """Kahan compensation on the mesh f32 path (VERDICT r3 item 5):
+    (a) compensated runs are bit-identical across mesh shapes for the
+    same tile (the compensation is per-body local state riding the same
+    ordered-ring arithmetic); (b) against the f64 reference trajectory,
+    the compensated mesh run tracks at least as well as the plain one
+    and strictly better over a long-horizon drift window — the mesh twin
+    of the single-device study (results/F32_HORIZON.md)."""
+    steps, tile = 600, 5
+    runs = [simulate(scene, n_steps=steps, chunk=300, precision="f32",
+                     mesh=make_mesh({"body": b}), tile=tile,
+                     compensated=True)
+            for b in (1, 4)]
+    np.testing.assert_array_equal(runs[0].q, runs[1].q)
+    np.testing.assert_array_equal(runs[0].v, runs[1].v)
+
+    plain = simulate(scene, n_steps=steps, chunk=300, precision="f32",
+                     mesh=make_mesh({"body": 4}), tile=tile,
+                     compensated=False)
+    ref = simulate(scene, n_steps=steps, chunk=300, platform="cpu")
+    scale = np.abs(ref.q).max()
+    err_comp = np.abs(runs[1].q - ref.q).max() / scale
+    err_plain = np.abs(plain.q - ref.q).max() / scale
+    # compensation must never hurt, and over this horizon the plain f32
+    # accumulation has measurably drifted (single-device study: plain
+    # drifts linearly, compensated holds the representation floor)
+    assert err_comp <= err_plain * 1.05
+    assert err_comp < 1e-5
+
+
+def test_simulate_mesh_rejects_compensated_extended():
+    import pytest as _pytest
+    sc = read_input(os.path.join(TESTCASE_DIR, "b20.in"))
+    with _pytest.raises(ValueError, match="compensated"):
+        simulate(sc, n_steps=4, chunk=4, precision="tf3",
+                 mesh=make_mesh({"body": 2}), tile=5, compensated=True)
