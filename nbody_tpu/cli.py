@@ -94,6 +94,14 @@ def main(argv=None) -> int:
     import dataclasses
 
     from . import SimConfig, read_input, solve_scene, write_output
+    from .backend import enable_persistent_compile_cache
+
+    # On-disk XLA executable cache: a cold remote compile of the e64
+    # graphs costs minutes-to-tens-of-minutes PER PROCESS otherwise
+    # (measured round 4: the same graph compiled in 24 s and 974 s on
+    # the same worker) — with the cache, each signature compiles once
+    # ever. NBODY_JAX_CACHE overrides the location.
+    enable_persistent_compile_cache()
 
     cfg = SimConfig()
     overrides = {}

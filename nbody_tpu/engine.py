@@ -193,8 +193,17 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         from .parallel.solver_sharded import (run_problems_12_sharded,
                                               run_problem_3_sharded)
         from .utils.padding import bucket_size, pad_scene
+        import os as _os
         body = mesh.shape["body"]
         n_target = bucket_size(run_scene.n)
+        _mb = _os.environ.get("NBODY_MESH_MIN_BUCKET")
+        if _mb:
+            # Opt-out of the TPU signature buckets for tiny-scene mesh
+            # runs whose wall is COMPILE, not compute (the CPU-mesh e64
+            # dryrun: an n=128 softfloat mesh chunk takes tens of minutes
+            # of XLA:CPU compile, an n=8 one takes ~a minute). Padding is
+            # semantics-exact at any size (utils/padding.py header).
+            n_target = max(run_scene.n, int(_mb))
         n_target = ((n_target + body - 1) // body) * body
         if tile is not None:
             lcm = body * tile

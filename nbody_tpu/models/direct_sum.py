@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -721,24 +722,24 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         if not on_accel:
             host_chunk = min(cfg.n_steps, 25000)
         else:
-            from ..utils.chunking import AdaptiveChunker
-            prior = (_E64_SEC_PER_PAIR_STEP if _is_e64(dtype)
-                     else _DD_SEC_PER_PAIR_STEP)
-            chunker = AdaptiveChunker(prior * R * n * n, cfg.n_steps)
+            # FIXED chunk size — deliberately NOT the AdaptiveChunker: at
+            # the overhead-bound sizes this path is routed for, a chunk
+            # boundary costs one ~ms host sync (10000 steps ~ 4 s compute,
+            # worst measured codegen ~20 s, far under the watchdog), while
+            # every distinct chunk length is a separate remote XLA compile
+            # whose cost is the REAL small-n wall (measured round 4: the
+            # same fused graph compiled in 24 s and in 974 s on the same
+            # worker hours apart). One signature per solve; the sweep's
+            # nine 128-bucket cases then share that one compile.
+            host_chunk = int(os.environ.get("NBODY_P123_CHUNK", 10000))
     t0 = 0
-    hit_h = int(np.asarray(carry[3]))
-    p1_carry = None                 # (q, v, min_d2) after the P1-only switch
-    frozen = None                   # (hit, arr, p3_hit)
-
-    def decided(hit_h, arr_h, p3h_h) -> bool:
-        # P2 settled, and every P3 row is either hit, still un-arrived
-        # (any future arrival is > hit => ineligible), or arrived too late
-        if hit_h == -2:
-            return False
-        return bool(np.all(p3h_h | (arr_h == -2) | (arr_h > hit_h)))
-
+    # NO post-decision switch to a P1-only chunk here (run_problems_12
+    # has one): at the overhead-bound sizes this path is routed for, the
+    # decided rows ride free (batch scaling table, ACCURACY.md round 4),
+    # while the switch would cost a second compile signature — measured
+    # at 20-60 s warm-cache-load/compile, more than the P1 tail's entire
+    # compute. One signature, one pass.
     if checkpoint_path is not None:
-        import os
         from ..utils.checkpoint import load_checkpoint, save_checkpoint
         fingerprint = _solver_fingerprint(scene, cfg, dtype, fast) + ":p123"
         if os.path.exists(checkpoint_path):
@@ -761,67 +762,40 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                      put(extra["p3_hit"].astype(bool)))
             hit_h = int(extra["hit"])
     while t0 < cfg.n_steps:
-        if p1_carry is None and decided(
-                hit_h, np.asarray(carry[4]), np.asarray(carry[5])):
-            qd, vd, min_d2, hit, arr, p3_hit = carry
-            frozen = (hit, arr, p3_hit)
-            p1_carry = (qd[0:1], vd[0:1], min_d2)
         hc = chunker.start() if chunker is not None else host_chunk
         cs = min(hc, cfg.n_steps - t0)
         fst_chunk = np.zeros(hc, dtype=host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
-        if p1_carry is not None:
-            p1_carry = _p1_chunk(
-                *p1_carry, put(conv(fst_chunk)), put(np.int32(t0)),
-                m0_s[0:1], m_half[0:1],
-                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-                dist3_mode=cfg.dist3_mode or "dsqrt",
-                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-                f64_grid=_is_grid(dtype), pallas_e64=pk,
-            )
-            watch = p1_carry
-        else:
-            carry = _p123_chunk(
-                *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
-                put(np.int32(t0)),
-                n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
-                planet_radius=cfg.planet_radius,
-                missile_speed=cfg.missile_speed,
-                dist3_mode=cfg.dist3_mode or "dsqrt",
-                planet=scene.planet, asteroid=scene.asteroid, fast=fast,
-                f64_grid=_is_grid(dtype), pallas_e64=pk,
-            )
-            watch = carry
+        carry = _p123_chunk(
+            *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
+            put(np.int32(t0)),
+            n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
+            planet_radius=cfg.planet_radius,
+            missile_speed=cfg.missile_speed,
+            dist3_mode=cfg.dist3_mode or "dsqrt",
+            planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+            f64_grid=_is_grid(dtype), pallas_e64=pk,
+        )
         if chunker is not None or on_accel:
-            jax.block_until_ready(watch)
+            jax.block_until_ready(carry)
         if chunker is not None:
             chunker.finish(cs)
         if on_accel:
-            _guard_finite(watch[0], watch[2],
+            _guard_finite(carry[0], carry[2],
                           context=f"in fused P1/P2/P3 after step {t0 + cs}")
         t0 += cs
-        if p1_carry is None:
-            hit_h = int(np.asarray(carry[3]))
         if checkpoint_path is not None:
             pack = _ckpt_pack
-            if p1_carry is not None:
-                qd, vd, min_d2 = p1_carry
-                hit, arr, p3_hit = frozen
-            else:
-                qd, vd, min_d2, hit, arr, p3_hit = carry
+            qd, vd, min_d2, hit, arr, p3_hit = carry
             save_checkpoint(
                 checkpoint_path, step=t0, q=pack(qd), v=pack(vd),
                 extra={"min_d2": pack(min_d2),
                        "hit": np.asarray(hit), "arr": np.asarray(arr),
                        "p3_hit": np.asarray(p3_hit)},
                 meta={"n_steps": cfg.n_steps, "fingerprint": fingerprint,
-                      "phase": "p1" if p1_carry is not None else "p123"})
+                      "phase": "p123"})
 
-    if p1_carry is not None:
-        _, _, min_d2 = p1_carry
-        hit, arr, p3_hit = frozen
-    else:
-        _, _, min_d2, hit, arr, p3_hit = carry
+    _, _, min_d2, hit, arr, p3_hit = carry
     arr_h = np.asarray(arr)
     hit_h = int(hit)
     eligible = (arr_h != -2) & (arr_h <= hit_h) if hit_h != -2 \
