@@ -56,7 +56,12 @@ def main():
     import dataclasses
 
     from nbody_tpu import read_input, solve_scene, format_output, SimConfig
+    from nbody_tpu.backend import enable_persistent_compile_cache
     from nbody_tpu.io import parse_output
+
+    # one compile ever per signature (same cache the CLI uses); the r3
+    # sweep silently paid minutes-class remote compiles per phase
+    enable_persistent_compile_cache()
 
     cfg = SimConfig()
     if args.dist3_mode:
