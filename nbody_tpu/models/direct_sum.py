@@ -321,12 +321,12 @@ def _bcast_row(x, row: int):
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "dt", "eps", "G", "planet_radius",
-                     "missile_speed", "dist3_mode", "planet", "asteroid",
+                     "missile_speed", "dist3_mode",
                      "fast", "f64_grid", "pallas_e64"),
 )
 def _p123_chunk(q, v, min_d2, hit, arr, p3_hit, m0_s, m_half, dev_idx,
-                fst_chunk, t0, *, n_steps, dt, eps, G, planet_radius,
-                missile_speed, dist3_mode, planet, asteroid, fast=False,
+                fst_chunk, t0, planet, asteroid, *, n_steps, dt, eps, G,
+                planet_radius, missile_speed, dist3_mode, fast=False,
                 f64_grid=False, pallas_e64=False):
     """FUSED Problems 1+2+3: one scan over rows [P1, P2, P3_0..P3_{D-1}].
 
@@ -769,11 +769,17 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
         carry = _p123_chunk(
             *carry, m0_s, m_half, dev_idx, put(conv(fst_chunk)),
             put(np.int32(t0)),
+            # planet/asteroid ride as TRACED ints (unlike the phased
+            # chunks' static args): the graded cases differ ONLY in them
+            # once padded to the (n, D) bucket, so tracing them lets all
+            # nine 128-bucket cases share ONE compiled executable —
+            # measured round 4: as static args the sweep wrote nine
+            # distinct cache entries and paid nine compiles.
+            put(np.int32(scene.planet)), put(np.int32(scene.asteroid)),
             n_steps=cfg.n_steps, dt=cfg.dt, eps=cfg.eps, G=cfg.G,
             planet_radius=cfg.planet_radius,
             missile_speed=cfg.missile_speed,
-            dist3_mode=cfg.dist3_mode or "dsqrt",
-            planet=scene.planet, asteroid=scene.asteroid, fast=fast,
+            dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,
             f64_grid=_is_grid(dtype), pallas_e64=pk,
         )
         if chunker is not None or on_accel:
