@@ -33,8 +33,11 @@ def main():
     tile_j = int(os.environ.get("BENCH_TILE_J", 2048))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nbody_tpu.backend import enable_persistent_compile_cache
     from nbody_tpu.models.plummer import plummer_scene
     from nbody_tpu.ops.pallas_forces import pallas_step
+
+    enable_persistent_compile_cache()   # one compile ever per signature
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
