@@ -57,13 +57,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def read_input_header_n(path: str) -> int:
-    """Peek the body count from a testcase header (cheap CLI pre-checks)."""
+    """Peek the body count from a testcase header (cheap CLI pre-checks).
+
+    Tokenizes exactly like io.read_input (whitespace over the whole stream,
+    not line-based), so a header split across lines passes or fails both
+    the same way."""
+    from .io import SceneFormatError
     with open(path, "r") as f:
-        head = f.readline().split()
-    if not head:
-        from .io import SceneFormatError
+        tokens = f.read().split()
+    if not tokens:
         raise SceneFormatError(f"{path}: missing header")
-    return int(head[0])
+    return int(tokens[0])
 
 
 def parse_mesh_spec(spec: str):
@@ -129,12 +133,14 @@ def main(argv=None) -> int:
             # multiple of the tile (engine.py mesh path); an oversized
             # tile silently multiplies the padded problem size. Surface
             # that before minutes of compile/solve.
-            from .utils.padding import bucket_size
+            from .utils.padding import mesh_pad_target
             body = mesh.shape["body"]
             scene_n = read_input_header_n(args.input)
-            natural = -(-bucket_size(scene_n) // body) * body
-            lcm = body * args.tile
-            padded = -(-natural // lcm) * lcm
+            # Exactly the engine's computation (same helper), with and
+            # without the tile, so the guard and the engine can't disagree
+            # (including under NBODY_MESH_MIN_BUCKET).
+            natural = mesh_pad_target(scene_n, body, None)
+            padded = mesh_pad_target(scene_n, body, args.tile)
             if padded > 2 * natural:
                 raise SystemExit(
                     f"--tile {args.tile} would pad the scene from "

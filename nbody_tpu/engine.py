@@ -192,22 +192,15 @@ def solve_scene(scene: Scene, cfg: SimConfig = DEFAULT_CONFIG, *,
         # (hw5.cu:564-588).
         from .parallel.solver_sharded import (run_problems_12_sharded,
                                               run_problem_3_sharded)
-        from .utils.padding import bucket_size, pad_scene
-        import os as _os
+        from .utils.padding import mesh_pad_target, pad_scene
         body = mesh.shape["body"]
-        n_target = bucket_size(run_scene.n)
-        _mb = _os.environ.get("NBODY_MESH_MIN_BUCKET")
-        if _mb:
-            # Opt-out of the TPU signature buckets for tiny-scene mesh
-            # runs whose wall is COMPILE, not compute (the CPU-mesh e64
-            # dryrun: an n=128 softfloat mesh chunk takes tens of minutes
-            # of XLA:CPU compile, an n=8 one takes ~a minute). Padding is
-            # semantics-exact at any size (utils/padding.py header).
-            n_target = max(run_scene.n, int(_mb))
-        n_target = ((n_target + body - 1) // body) * body
-        if tile is not None:
-            lcm = body * tile
-            n_target = ((n_target + lcm - 1) // lcm) * lcm
+        # mesh_pad_target handles the NBODY_MESH_MIN_BUCKET opt-out of the
+        # TPU signature buckets for tiny-scene mesh runs whose wall is
+        # COMPILE, not compute (the CPU-mesh e64 dryrun: an n=128 softfloat
+        # mesh chunk takes tens of minutes of XLA:CPU compile, an n=8 one
+        # takes ~a minute). Padding is semantics-exact at any size
+        # (utils/padding.py header).
+        n_target = mesh_pad_target(run_scene.n, body, tile)
         run_scene = pad_scene(run_scene, n_target=n_target)
         if timers is None:
             from .utils.profiling import PhaseTimers

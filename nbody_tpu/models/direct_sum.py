@@ -717,21 +717,27 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
 
     on_accel = _on_accelerator(device)
     pk = _use_pallas_e64(dtype, device, n)
-    chunker = None
     if host_chunk is None:
         if not on_accel:
             host_chunk = min(cfg.n_steps, 25000)
         else:
-            # FIXED chunk size — deliberately NOT the AdaptiveChunker: at
-            # the overhead-bound sizes this path is routed for, a chunk
-            # boundary costs one ~ms host sync (10000 steps ~ 4 s compute,
-            # worst measured codegen ~20 s, far under the watchdog), while
-            # every distinct chunk length is a separate remote XLA compile
-            # whose cost is the REAL small-n wall (measured round 4: the
-            # same fused graph compiled in 24 s and in 974 s on the same
-            # worker hours apart). One signature per solve; the sweep's
-            # nine 128-bucket cases then share that one compile.
-            host_chunk = int(os.environ.get("NBODY_P123_CHUNK", 10000))
+            # FIXED chunk size — deliberately NOT the AdaptiveChunker: a
+            # chunk boundary costs one ~ms host sync, while every distinct
+            # chunk length is a separate remote XLA compile whose cost is
+            # the REAL small-n wall (measured round 4: the same fused
+            # graph compiled in 24 s and in 974 s on the same worker hours
+            # apart). One signature per solve; the sweep's nine 128-bucket
+            # cases share that one compile (10000 steps ~ 4 s compute
+            # there). Above the overhead-bound sizes the chunk shrinks so
+            # a chunk stays well under the ~60 s execution watchdog even
+            # on a 5x-slow worker epoch (CLAUDE.md): a fixed function of
+            # the (n, batch) bucket — still one signature per bucket —
+            # sized from the same pessimistic per-pair-step prior the
+            # phased path's AdaptiveChunker uses.
+            budget = 30.0 / (_E64_SEC_PER_PAIR_STEP * (2 + D) * n * n) \
+                if _is_e64(dtype) else float(10000)
+            host_chunk = int(os.environ.get(
+                "NBODY_P123_CHUNK", max(100, min(10000, int(budget)))))
     t0 = 0
     # NO post-decision switch to a P1-only chunk here (run_problems_12
     # has one): at the overhead-bound sizes this path is routed for, the
@@ -760,9 +766,8 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
                      put(extra["hit"].astype(np.int32)),
                      put(extra["arr"].astype(np.int32)),
                      put(extra["p3_hit"].astype(bool)))
-            hit_h = int(extra["hit"])
     while t0 < cfg.n_steps:
-        hc = chunker.start() if chunker is not None else host_chunk
+        hc = host_chunk
         cs = min(hc, cfg.n_steps - t0)
         fst_chunk = np.zeros(hc, dtype=host_dtype)
         fst_chunk[:cs] = fstd[t0 + 1: t0 + 1 + cs]
@@ -782,11 +787,8 @@ def run_problems_123(scene, fst: np.ndarray, cfg: SimConfig, *, device=None,
             dist3_mode=cfg.dist3_mode or "dsqrt", fast=fast,
             f64_grid=_is_grid(dtype), pallas_e64=pk,
         )
-        if chunker is not None or on_accel:
-            jax.block_until_ready(carry)
-        if chunker is not None:
-            chunker.finish(cs)
         if on_accel:
+            jax.block_until_ready(carry)
             _guard_finite(carry[0], carry[2],
                           context=f"in fused P1/P2/P3 after step {t0 + cs}")
         t0 += cs

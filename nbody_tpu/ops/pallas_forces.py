@@ -191,12 +191,16 @@ def _accel_kernel_mxu(qi4_ref, qj4_ref, gmn_ref, out_ref, *, eps2: float,
     i = pl.program_id(0)
     rows = i * ti + lax.broadcasted_iota(jnp.int32, w.shape, 0)
     cols = j * tj + lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    if tj >= ti:
+    if tj >= ti and tj % ti == 0:
         # The diagonal crossing exists only in the j-tile that contains this
-        # i block's global row range (TI <= TJ: exactly one such j). Masking
-        # only there keeps the mask's select off every other grid cell.
-        # (program_id math stays at kernel top level: the interpret-mode HLO
-        # lowering can't bind program_id inside a pl.when branch body.)
+        # i block's global row range — exactly one such j, but ONLY when the
+        # i block cannot straddle a j-tile boundary (TJ a multiple of TI;
+        # e.g. ti=32, tj=48, i=1 spans rows 32-63 = j-tiles 0 AND 1, and a
+        # single diag_j would leave unmasked self-terms ~1e9x the physical
+        # ones). Masking only there keeps the mask's select off every other
+        # grid cell. (program_id math stays at kernel top level: the
+        # interpret-mode HLO lowering can't bind program_id inside a
+        # pl.when branch body.)
         diag_j = (i * ti) // tj
 
         @pl.when(j == diag_j)
@@ -212,7 +216,8 @@ def _accel_kernel_mxu(qi4_ref, qj4_ref, gmn_ref, out_ref, *, eps2: float,
                 w, qj4, (((1,), (0,)), ((), ())), precision=accum_precision,
                 preferred_element_type=jnp.float32)
     else:
-        # zero the self-interaction crossing unconditionally
+        # zero the self-interaction crossing unconditionally (ti > tj, or
+        # misaligned tiles where an i block spans several j-tiles)
         out_ref[:] += lax.dot_general(
             jnp.where(rows == cols, 0.0, w), qj4, (((1,), (0,)), ((), ())),
             precision=accum_precision, preferred_element_type=jnp.float32)

@@ -418,7 +418,7 @@ def round53(t: TF3) -> TF3:
     noise class the fixpoint absorbs (measured: 38% per-op dist3 rounding
     differences leave the f64 trajectory bit-identical).
     """
-    from jax._src.lax.lax import RoundingMethod
+    from jax.lax import RoundingMethod
 
     se = jnp.int32(52) - exp_bits(t.hi)          # scale exponent: g -> 1
     u1 = exp2_i32(se - (se >> 1))

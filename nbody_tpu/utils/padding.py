@@ -33,6 +33,26 @@ def bucket_size(n: int, buckets=N_BUCKETS) -> int:
     return ((n + top - 1) // top) * top
 
 
+def mesh_pad_target(n: int, body: int, tile: int | None = None) -> int:
+    """The padded body count the engine's mesh path will actually use.
+
+    bucket_size(n) (or the NBODY_MESH_MIN_BUCKET override, for tiny-scene
+    mesh runs whose wall is XLA:CPU softfloat COMPILE, not compute), rounded
+    up so every shard's row block is a whole multiple of the tile. Shared
+    by engine.solve_scene and the CLI --tile pre-check so the guard can
+    never disagree with the engine."""
+    import os
+    n_target = bucket_size(n)
+    mb = os.environ.get("NBODY_MESH_MIN_BUCKET")
+    if mb:
+        n_target = max(n, int(mb))
+    n_target = ((n_target + body - 1) // body) * body
+    if tile is not None:
+        lcm = body * tile
+        n_target = ((n_target + lcm - 1) // lcm) * lcm
+    return n_target
+
+
 def pad_scene(scene: Scene, n_target: int | None = None,
               d_target: int = 4) -> Scene:
     """Pad to n_target bodies (default: bucket) and d_target device slots.

@@ -68,14 +68,19 @@ def test_zero_mass_padding_contributes_nothing():
     np.testing.assert_array_equal(np.asarray(a)[:n // 2], np.asarray(a2))
 
 
-@pytest.mark.parametrize("tile_i,tile_j", [(32, 64), (64, 32), (128, 128)])
-def test_mxu_kernel_matches_xla(tile_i, tile_j):
+@pytest.mark.parametrize("n,tile_i,tile_j", [
+    (128, 32, 64), (128, 64, 32), (128, 128, 128),
+    # tj >= ti but tj % ti != 0: the i block straddles a j-tile boundary,
+    # so the single-diag-tile fast path is ineligible and the kernel must
+    # fall back to the unconditional mask (ADVICE r4 medium finding).
+    (96, 32, 48),
+])
+def test_mxu_kernel_matches_xla(n, tile_i, tile_j):
     """The Gram/matmul-formulated kernel agrees with the dq-form reference
     to f32-Gram accuracy (the diagonal mask makes the self-term exactly 0;
     without it the result is pure noise — see _accel_kernel_mxu)."""
     from nbody_tpu.ops.pallas_forces import pallas_accel_mxu
 
-    n = 128
     rs = np.random.RandomState(0)
     q = jnp.asarray(rs.randn(n, 3), jnp.float32)
     m = jnp.asarray(np.abs(rs.randn(n)) * 1e8, jnp.float32)
