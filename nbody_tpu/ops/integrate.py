@@ -78,8 +78,10 @@ def _pallas_accel_e64_batched(q, m_eff, *, G: float, eps: float):
     """Route the e64 force through the Mosaic kernel
     (ops/pallas_forces_e64): gm = fl64(G * m_eff) is hoisted as a packed
     e64 product (bit-identical to the XLA kernel's in-chain mul of the
-    same values), and leading scenario batch dims unroll to one
-    pallas_call each (cross-scenario pairs must not mix)."""
+    same values). A leading scenario-batch dim rides the kernel's batch
+    grid dimension — ONE pallas_call per step for all rows (the work
+    hw5.cu:566/604 spreads over two GPUs), cross-scenario pairs never
+    mixed, bits identical to per-row calls."""
     import jax
     import jax.numpy as jnp
 
@@ -96,15 +98,9 @@ def _pallas_accel_e64_batched(q, m_eff, *, G: float, eps: float):
     # pallas_step_isplit): lets the solver's pallas_e64 plumbing be
     # validated bit-exactly without a TPU (RUN_SLOW CPU test)
     interp = jax.default_backend() == "cpu"
-    if q.hi.ndim == 2:
-        return pallas_accel_e64(q, gm, eps=eps, rows_i=rows_i,
-                                tile_j=tile_j, interpret=interp)
-    assert q.hi.ndim == 3, q.hi.shape
-    parts = [pallas_accel_e64(q[b], gm[b], eps=eps, rows_i=rows_i,
-                              tile_j=tile_j, interpret=interp)
-             for b in range(q.hi.shape[0])]
-    return fe.E64(jnp.stack([p.hi for p in parts]),
-                  jnp.stack([p.lo for p in parts]))
+    assert q.hi.ndim in (2, 3), q.hi.shape
+    return pallas_accel_e64(q, gm, eps=eps, rows_i=rows_i,
+                            tile_j=tile_j, interpret=interp)
 
 
 def kdk_leapfrog_step(q, v, a, m_eff, *, G: float, eps: float, dt: float,

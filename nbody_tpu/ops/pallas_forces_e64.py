@@ -63,8 +63,10 @@ def _broadcast_quad(quad, shape):
 def _e64_kernel(jh_ref, jl_ref,
                 qxh_ref, qxl_ref, qyh_ref, qyl_ref, qzh_ref, qzl_ref,
                 axh_ref, axl_ref, ayh_ref, ayl_ref, azh_ref, azl_ref,
-                *, tile_j: int, sub_j: int, eps2_bits: tuple[int, int]):
-    """Grid point (i, j): fold j-tile columns into the i-row block.
+                *, tile_j: int, sub_j: int, eps2_bits: tuple[int, int],
+                j_axis: int = 1):
+    """Grid point (i, j) — or (b, i, j) with a leading scenario-batch grid
+    dimension (j_axis=2): fold j-tile columns into the i-row block.
 
     jh/jl_ref: (TJ, 4) u32 in SMEM — packed hi/lo of (qx, qy, qz, gm)
                for the j-tile, read one scalar row per fold step.
@@ -75,12 +77,20 @@ def _e64_kernel(jh_ref, jl_ref,
     sub_j: columns evaluated per chain pass. The per-pair softfloat
     chain is one long dependency chain — evaluating a single column per
     pass leaves the VPU pipeline latency-bound. Stacking sub_j
-    independent columns into (sub_j, R, 128) tensors gives every vector
+    independent columns as (R, sub_j, 128) tensors gives every vector
     op sub_j*R/8 independent vregs of work; only the j-ascending FOLD at
     the end of each pass is serial (bits identical for any sub_j — the
     fold order never changes).
+
+    Layout note (measured r5): the stack puts sub_j in the MINOR-two
+    dims — (R, sub_j, 128), minor tile (sub_j, 128) = a full native
+    (8, 128) vreg tile at the default sub_j=8 — NOT (sub_j, R, 128),
+    whose minor (R, 128) tile is fractional whenever the i-block has
+    fewer than 8 row-tiles (R = n/128 < 8): at n=256 (R=2) every chain
+    op then runs on quarter-filled vregs, which measured as a 4.1x
+    per-pair gap vs n=1024 (results/ACCURACY.md round 5).
     """
-    jt = pl.program_id(1)
+    jt = pl.program_id(j_axis)
 
     @pl.when(jt == 0)
     def _():
@@ -89,7 +99,7 @@ def _e64_kernel(jh_ref, jl_ref,
             ref[:] = jnp.zeros_like(ref)
 
     shape = axh_ref.shape                        # (R, 128)
-    wide = (sub_j,) + shape
+    wide = (shape[0], sub_j, shape[1])           # minor tile: (sub_j, 128)
     eps2_u = _broadcast_quad(
         fe.unpack(jnp.uint32(eps2_bits[0]), jnp.uint32(eps2_bits[1])),
         wide)
@@ -97,7 +107,8 @@ def _e64_kernel(jh_ref, jl_ref,
     qi_u = [fe.unpack(h_ref[:], l_ref[:])
             for h_ref, l_ref in ((qxh_ref, qxl_ref), (qyh_ref, qyl_ref),
                                  (qzh_ref, qzl_ref))]
-    nqi_u = [_broadcast_quad(fe.neg_u(*q), wide) for q in qi_u]
+    nqi_u = [tuple(jnp.broadcast_to(x[:, None, :], wide)
+                   for x in fe.neg_u(*q)) for q in qi_u]
 
     acc = tuple(fe.unpack(h_ref[:], l_ref[:])
                 for h_ref, l_ref in ((axh_ref, axl_ref), (ayh_ref, ayl_ref),
@@ -105,14 +116,17 @@ def _e64_kernel(jh_ref, jl_ref,
 
     def fold_pass(p, acc):
         j0 = p * sub_j
-        # (sub_j, R, 128) column stacks: scalar SMEM reads broadcast per
-        # sub-row, stacked on a leading (untiled) dim
+        # (R, sub_j, 128) column stacks: scalar SMEM reads broadcast one
+        # (sub_j, 128) full tile (one sublane per column), shared across
+        # the leading (untiled) R row-tiles
         cols = []
         for k in range(4):
             quads = [fe.unpack(jh_ref[j0 + s, k], jl_ref[j0 + s, k])
                      for s in range(sub_j)]
             cols.append(tuple(
-                jnp.stack([jnp.broadcast_to(qd[c], shape) for qd in quads])
+                jnp.broadcast_to(
+                    jnp.stack([jnp.broadcast_to(qd[c], (shape[1],))
+                               for qd in quads])[None], wide)
                 for c in range(4)))
         qj_u, gm_u = cols[:3], cols[3]
         dq = [fe.add_u(*qj_u[k], *nqi_u[k]) for k in range(3)]
@@ -127,7 +141,7 @@ def _e64_kernel(jh_ref, jl_ref,
                  for k in range(3)]
         # j-ascending serial fold through the sub-tile (the spec's order)
         for s in range(sub_j):
-            acc = tuple(fe.add_u(*acc[k], *(c[s] for c in terms[k]))
+            acc = tuple(fe.add_u(*acc[k], *(c[:, s] for c in terms[k]))
                         for k in range(3))
         return acc
 
@@ -144,45 +158,59 @@ def _e64_kernel(jh_ref, jl_ref,
                                              "sub_j", "interpret"))
 def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
                       tile_j: int, sub_j: int, interpret: bool):
-    n = qh.shape[0]
+    squeeze = qh.ndim == 2
+    if squeeze:
+        qh, ql, gmh, gml = qh[None], ql[None], gmh[None], gml[None]
+    bat, n = qh.shape[0], qh.shape[1]
     assert n % (rows_i * _LANES) == 0 and n % tile_j == 0 \
         and tile_j % sub_j == 0, (n, rows_i, tile_j, sub_j)
-    # j side: (n, 4) packed columns (qx, qy, qz, gm) for SMEM scalar reads
-    jh = jnp.concatenate([qh, gmh[:, None]], axis=1)
-    jl = jnp.concatenate([ql, gml[:, None]], axis=1)
-    # i side: each axis as (n/128, 128) native u32 tiles
-    col = lambda a, k: a[:, k].reshape(n // _LANES, _LANES)
+    # j side: (B, n, 4) packed columns (qx, qy, qz, gm) for SMEM scalar
+    # reads
+    jh = jnp.concatenate([qh, gmh[..., None]], axis=-1)
+    jl = jnp.concatenate([ql, gml[..., None]], axis=-1)
+    # i side: each axis as (B, n/128, 128) native u32 tiles
+    col = lambda a, k: a[..., k].reshape(bat, n // _LANES, _LANES)
     iside = [col(a, k) for k in range(3) for a in (qh, ql)]
 
     eps2 = float(eps) * float(eps)
     e2h, e2l = fe.from_f64(eps2)
-    out = jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.uint32)
+    out = jax.ShapeDtypeStruct((bat, n // _LANES, _LANES), jnp.uint32)
 
+    # Leading scenario-batch grid dimension, block-squeezed (None) so the
+    # kernel body is byte-for-byte the unbatched one: cross-scenario pairs
+    # never mix (each b grid step reads only its own j columns and i rows)
+    # and the per-scenario fold order is unchanged — the batched call is
+    # bit-identical to `bat` separate calls (tests/test_pallas_e64.py),
+    # while the solver's scenario rows (the P1/P2 pair, P3's device rows —
+    # the work hw5.cu:566/604 spreads over two GPUs) ride ONE kernel
+    # launch per step.
     kernel = functools.partial(_e64_kernel, tile_j=tile_j, sub_j=sub_j,
-                               eps2_bits=(int(e2h), int(e2l)))
-    row_spec = pl.BlockSpec((rows_i, _LANES), lambda i, j: (i, 0),
+                               eps2_bits=(int(e2h), int(e2l)), j_axis=2)
+    row_spec = pl.BlockSpec((None, rows_i, _LANES),
+                            lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
     lane_ops_per_pair = 2500
     axh, axl, ayh, ayl, azh, azl = pl.pallas_call(
         kernel,
-        grid=(n // (rows_i * _LANES), n // tile_j),
+        grid=(bat, n // (rows_i * _LANES), n // tile_j),
         in_specs=[
-            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0),
+            pl.BlockSpec((None, tile_j, 4), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_j, 4), lambda i, j: (j, 0),
+            pl.BlockSpec((None, tile_j, 4), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.SMEM),
         ] + [row_spec] * 6,
         out_specs=[row_spec] * 6,
         out_shape=[out] * 6,
         cost_estimate=pl.CostEstimate(
-            flops=lane_ops_per_pair * n * n,
+            flops=lane_ops_per_pair * bat * n * n,
             bytes_accessed=qh.size * 16 + gmh.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
     )(jh, jl, *iside)
-    stack = lambda h3: jnp.stack([h.reshape(n) for h in h3], axis=-1)
-    return stack((axh, ayh, azh)), stack((axl, ayl, azl))
+    stack = lambda h3: jnp.stack([h.reshape(bat, n) for h in h3], axis=-1)
+    ah, al = stack((axh, ayh, azh)), stack((axl, ayl, azl))
+    return (ah[0], al[0]) if squeeze else (ah, al)
 
 
 def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
@@ -190,13 +218,15 @@ def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
                      interpret: bool = False):
     """Bit-exact binary64 all-pairs accelerations on the TPU via Pallas.
 
-    q: E64 (n, 3); gm: E64 (n,) = G * m_eff (packed e64 product, hoisted
-    — same bits as the spec's per-pair recompute). n must be a multiple
-    of rows_i * 128 and of tile_j — pad with zero-MASS bodies (their
-    terms are +-0, an IEEE accumulation identity; pad positions may
-    duplicate an edge body so d3 > 0).
+    q: E64 (n, 3) or (B, n, 3) with a leading scenario-batch dim; gm: E64
+    (n,) / (B, n) = G * m_eff (packed e64 product, hoisted — same bits as
+    the spec's per-pair recompute). n must be a multiple of rows_i * 128
+    and of tile_j — pad with zero-MASS bodies (their terms are +-0, an
+    IEEE accumulation identity; pad positions may duplicate an edge body
+    so d3 > 0). Scenario rows never mix: the batch is a grid dimension,
+    one independent all-pairs problem per row.
 
-    Returns E64 (n, 3), byte-identical to
+    Returns E64 matching q's leading shape, byte-identical to
     pairwise_accel_e64(fold='serial') and to the serial spec.
 
     Traced with x64 disabled: under x64 Pallas grid index maps become

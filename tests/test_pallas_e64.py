@@ -52,6 +52,30 @@ def test_pallas_e64_byte_identical_to_host_f64():
     np.testing.assert_array_equal(want_l, np.asarray(got.lo))
 
 
+def test_pallas_e64_batched_bit_identical_to_per_row():
+    """The scenario-batch grid dimension never mixes rows: a (B, n, 3)
+    call is byte-identical to B separate (n, 3) calls (each scenario is
+    its own all-pairs problem — the solver's P1/P2/P3 rows)."""
+    rng = np.random.RandomState(2)
+    bat, n = 3, 128
+    q = rng.randn(bat, n, 3) * 1e10
+    m = np.abs(rng.randn(bat, n)) * 1e12
+    gm = 6.674e-11 * m
+    qe, gme = fe.e64_from_f64_tree(q), fe.e64_from_f64_tree(gm)
+
+    got = pallas_accel_e64(qe, gme, eps=1e-3, rows_i=1, tile_j=32,
+                           interpret=True)
+    for b in range(bat):
+        one = pallas_accel_e64(fe.e64_from_f64_tree(q[b]),
+                               fe.e64_from_f64_tree(gm[b]),
+                               eps=1e-3, rows_i=1, tile_j=32,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.hi)[b],
+                                      np.asarray(one.hi))
+        np.testing.assert_array_equal(np.asarray(got.lo)[b],
+                                      np.asarray(one.lo))
+
+
 @slow
 def test_pallas_e64_tile_shape_invariant():
     """Same bits for any (rows_i, tile_j) split: the fold order never
