@@ -50,9 +50,10 @@ def make_scan(n: int, steps: int, pallas: bool, sub_j: int):
             gm = fe.E64(*fe.mul(jnp.uint32(int(Gh)), jnp.uint32(int(Gl)),
                                 me_g.hi, me_g.lo))
             rows_i = max(1, min(8, n // 128))
-            tile_j = 256 if n % 256 == 0 else 128
+            tile_j = int(os.environ.get(
+                "BR_TILEJ", 256 if n % 256 == 0 else 128))
             a = pallas_accel_e64(q, gm, eps=EPS, rows_i=rows_i,
-                                 tile_j=tile_j, sub_j=sub_j)
+                                 tile_j=min(tile_j, n), sub_j=sub_j)
         else:
             a = pairwise_accel_e64(q, me_g, G=G, eps=EPS)
         v = v + a * dte
