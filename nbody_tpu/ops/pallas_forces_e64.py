@@ -64,7 +64,7 @@ def _e64_kernel(jh_ref, jl_ref,
                 qxh_ref, qxl_ref, qyh_ref, qyl_ref, qzh_ref, qzl_ref,
                 axh_ref, axl_ref, ayh_ref, ayl_ref, azh_ref, azl_ref,
                 *, tile_j: int, sub_j: int, eps2_bits: tuple[int, int],
-                j_axis: int = 1):
+                j_axis: int = 1, ablate: str = ""):
     """Grid point (i, j) — or (b, i, j) with a leading scenario-batch grid
     dimension (j_axis=2): fold j-tile columns into the i-row block.
 
@@ -130,15 +130,35 @@ def _e64_kernel(jh_ref, jl_ref,
                 for c in range(4)))
         qj_u, gm_u = cols[:3], cols[3]
         dq = [fe.add_u(*qj_u[k], *nqi_u[k]) for k in range(3)]
-        d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
-                                          *fe.sqr_u(*dq[1])),
-                                *fe.sqr_u(*dq[2])),
-                      *eps2_u)
-        d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))
-        bm, rb, nbm = fe._div_prep(d3[2], d3[3], in_kernel=True)
-        terms = [fe._div_core(*fe.mul_u(*gm_u, *dq[k]), *d3,
-                              bm, rb, nbm, in_kernel=True)
-                 for k in range(3)]
+        # `ablate` (timing instrumentation ONLY — scripts/
+        # bench_e64_breakdown.py) truncates the chain after a stage and
+        # folds whatever that stage produced, keeping every computed value
+        # live so Mosaic cannot DCE the measured work. Production callers
+        # never set it.
+        if ablate == "dq":
+            terms = dq
+        else:
+            d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
+                                              *fe.sqr_u(*dq[1])),
+                                    *fe.sqr_u(*dq[2])),
+                          *eps2_u)
+            if ablate == "d2":
+                terms = [d2, dq[1], dq[2]]
+            else:
+                d3 = fe.mul_u(*d2, *fe.sqrt_u(*d2))
+                if ablate == "d3":
+                    terms = [d3, dq[1], dq[2]]
+                else:
+                    num = [fe.mul_u(*gm_u, *dq[k]) for k in range(3)]
+                    if ablate == "num":
+                        # one extra add_u keeps d3 live (~1 op of noise)
+                        terms = [num[0], num[1], fe.add_u(*num[2], *d3)]
+                    else:
+                        bm, rb, nbm = fe._div_prep(d3[2], d3[3],
+                                                   in_kernel=True)
+                        terms = [fe._div_core(*num[k], *d3,
+                                              bm, rb, nbm, in_kernel=True)
+                                 for k in range(3)]
         # j-ascending serial fold through the sub-tile (the spec's order)
         for s in range(sub_j):
             acc = tuple(fe.add_u(*acc[k], *(c[:, s] for c in terms[k]))
@@ -155,9 +175,10 @@ def _e64_kernel(jh_ref, jl_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "rows_i", "tile_j",
-                                             "sub_j", "interpret"))
+                                             "sub_j", "interpret", "ablate"))
 def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
-                      tile_j: int, sub_j: int, interpret: bool):
+                      tile_j: int, sub_j: int, interpret: bool,
+                      ablate: str = ""):
     squeeze = qh.ndim == 2
     if squeeze:
         qh, ql, gmh, gml = qh[None], ql[None], gmh[None], gml[None]
@@ -185,7 +206,8 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
     # the work hw5.cu:566/604 spreads over two GPUs) ride ONE kernel
     # launch per step.
     kernel = functools.partial(_e64_kernel, tile_j=tile_j, sub_j=sub_j,
-                               eps2_bits=(int(e2h), int(e2l)), j_axis=2)
+                               eps2_bits=(int(e2h), int(e2l)), j_axis=2,
+                               ablate=ablate)
     row_spec = pl.BlockSpec((None, rows_i, _LANES),
                             lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
@@ -215,7 +237,7 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
 
 def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
                      tile_j: int = 256, sub_j: int = 8,
-                     interpret: bool = False):
+                     interpret: bool = False, ablate: str = ""):
     """Bit-exact binary64 all-pairs accelerations on the TPU via Pallas.
 
     q: E64 (n, 3) or (B, n, 3) with a leading scenario-batch dim; gm: E64
@@ -236,5 +258,5 @@ def pallas_accel_e64(q, gm, *, eps: float, rows_i: int = 8,
         ah, al = _pallas_accel_e64(q.hi, q.lo, gm.hi, gm.lo, eps=eps,
                                    rows_i=rows_i, tile_j=tile_j,
                                    sub_j=min(sub_j, tile_j),
-                                   interpret=interpret)
+                                   interpret=interpret, ablate=ablate)
     return fe.E64(ah, al)
