@@ -262,6 +262,69 @@ def add_u(sa, ea, a1, a0, sb, eb, b1, b0):
     return s, e, l1, l0
 
 
+def add_pos_u(ea, a1, a0, eb, b1, b0):
+    """Correctly-rounded binary64 a + b for NONNEGATIVE a, b (sign +0
+    only) on normalized unpacked quads — add_u minus the
+    effective-subtract machinery. With both signs positive there is no
+    cancellation, so the sum's msb sits at bit 80 or 81 of the
+    (r1, r0, rE) window and normalization is at most ONE right shift: the
+    clz search and the left funnel-shift drop out entirely (~30 of the
+    ~110 lane-ops). Bit-identical to add_u(+0, a, +0, b) — fuzz-gated by
+    tests/test_f64emu.py::test_add_pos_matches_add.
+
+    Used by the force kernels' d2 chain (sums of squares + eps^2, all
+    products of sqr_u whose sign is constructionally +0). Returns the
+    full (s, e, l1, l0) quad with s = +0."""
+    a_ge = (ea > eb) | ((ea == eb) & ((a1 > b1)
+                                      | ((a1 == b1) & (a0 >= b0))))
+    ex = jnp.where(a_ge, ea, eb)
+    x1 = jnp.where(a_ge, a1, b1)
+    x0 = jnp.where(a_ge, a0, b0)
+    ey = jnp.where(a_ge, eb, ea)
+    y1 = jnp.where(a_ge, b1, a1)
+    y0 = jnp.where(a_ge, b0, a0)
+    # a zero y must not distort the alignment distance
+    ey = jnp.where(ey == 0, ex, ey)
+
+    # align y exactly as add_u does
+    d = _u(jnp.clip(ex - ey, 0, 84))
+    w = d // 28
+    r = d % 28
+    t1 = jnp.where(w == 0, y1, _u(0))
+    t0 = jnp.where(w == 0, y0, jnp.where(w == 1, y1, _u(0)))
+    tE = jnp.where(w == 1, y0, jnp.where(w == 2, y1, _u(0)))
+    drop = jnp.where(w == 2, y0, jnp.where(w == 3, y1 | y0, _u(0)))
+    fall = lambda x: (x << (_u(28) - r)) & _u(_M28)
+    u1 = t1 >> r
+    u0 = (t0 >> r) | fall(t1)
+    uE = (tE >> r) | fall(t0)
+    sticky = (drop | fall(tE)) != 0
+
+    # magnitude add (the only path)
+    s0 = x0 + u0
+    r0 = s0 & _u(_M28)
+    r1 = x1 + u1 + (s0 >> 28)
+    rE = uE
+
+    zero_res = ((r1 | r0 | rE) == 0) & ~sticky
+
+    # normalize: msb 80 (in place) or 81 (one right shift)
+    carry_out = (r1 >> 25) != 0
+    c_st = sticky | ((rE & _u(1)) != 0)
+    r1f = jnp.where(carry_out, r1 >> 1, r1)
+    r0f = jnp.where(carry_out, (r0 >> 1) | ((r1 & _u(1)) << 27), r0)
+    rEf = jnp.where(carry_out, (rE >> 1) | ((r0 & _u(1)) << 27), rE)
+    stf = (carry_out & c_st) | (~carry_out & sticky)
+    ef = ex + _i(carry_out)
+
+    sz = _u(jnp.zeros_like(r1))
+    s, e, l1, l0 = _round_norm(sz, ef, r1f, r0f, rEf, stf)
+    e = jnp.where(zero_res, _i(0), e)
+    l1 = jnp.where(zero_res, _u(0), l1)
+    l0 = jnp.where(zero_res, _u(0), l0)
+    return s, e, l1, l0
+
+
 def add(ah, al, bh, bl):
     """Correctly-rounded binary64 a + b on packed uint32 pairs."""
     return pack_norm(*add_u(*unpack(ah, al), *unpack(bh, bl)))

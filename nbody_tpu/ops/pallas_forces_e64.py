@@ -138,10 +138,15 @@ def _e64_kernel(jh_ref, jl_ref,
         if ablate == "dq":
             terms = dq
         else:
-            d2 = fe.add_u(*fe.add_u(*fe.add_u(*fe.sqr_u(*dq[0]),
-                                              *fe.sqr_u(*dq[1])),
-                                    *fe.sqr_u(*dq[2])),
-                          *eps2_u)
+            # the d2 chain sums NONNEGATIVE values (sqr_u outputs + eps^2):
+            # the sign-free add_pos_u is bit-identical there and skips the
+            # subtract/cancellation machinery (fuzz-gated in test_f64emu)
+            apos = lambda a, b: fe.add_pos_u(a[1], a[2], a[3],
+                                             b[1], b[2], b[3])
+            d2 = apos(apos(apos(fe.sqr_u(*dq[0]),
+                                fe.sqr_u(*dq[1])),
+                           fe.sqr_u(*dq[2])),
+                      eps2_u)
             if ablate == "d2":
                 terms = [d2, dq[1], dq[2]]
             else:

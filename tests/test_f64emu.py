@@ -74,6 +74,35 @@ def test_add_half_ulp_ties(rng):
     assert_bitexact(fe.add, np.add, a, np.where(rng.random(N) < .5, -b, b))
 
 
+def test_add_pos_matches_add(rng):
+    """The sign-free same-sign add (add_pos_u, used by the force kernels'
+    d2 chain) is bit-identical to the general add on nonnegative inputs —
+    wide exponents, half-ulp rounding ties, carry-out sums, and zeros."""
+    def add_pos(ah, al, bh, bl):
+        ua = fe.unpack(ah, al)
+        ub = fe.unpack(bh, bl)
+        return fe.pack_norm(*fe.add_pos_u(ua[1], ua[2], ua[3],
+                                          ub[1], ub[2], ub[3]))
+
+    a = np.abs(rand_f64(rng, N))
+    b = np.abs(rand_f64(rng, N))
+    assert_bitexact(add_pos, np.add, a, b)
+    # near-equal exponents force the carry-out (one right shift) path
+    c = np.abs(rand_f64(rng, N, 200))
+    d = c * (2.0 ** rng.integers(-2, 3, N)) * (1 + 0.5 * rng.random(N))
+    assert_bitexact(add_pos, np.add, c, d.astype(np.float64))
+    # half-ulp ties
+    ea = rng.integers(1000, 1040, N, dtype=np.uint64)
+    t = ((ea << 52) | rng.integers(0, 1 << 52, N, dtype=np.uint64)
+         ).view(np.float64)
+    u = np.ldexp(1.0, ea.astype(np.int64) - 1076 + rng.integers(-2, 3, N))
+    assert_bitexact(add_pos, np.add, t, u)
+    # zeros on either/both sides
+    z = np.array([0.0, 0.0, 1.5, 0.0])
+    w = np.array([0.0, 2.5, 0.0, 0.0])
+    assert_bitexact(add_pos, np.add, z, w)
+
+
 def test_add_signed_zeros():
     a = np.array([0.0, -0.0, 0.0, -0.0, 1.5, -0.0])
     b = np.array([0.0, -0.0, -0.0, 0.0, -0.0, 2.5])
