@@ -765,8 +765,7 @@ def sqrt_u(sa, ea, a1, a0):
     half_rf_inv = F32(0.5) / rf          # 1/(2 sqrt(N)) approx
 
     # two correction rounds: R += round((N - R^2) / (2R))
-    for _ in range(2):
-        c = _limb_sub(N, _limb_sqr(R, 8))
+    def _correct(c, R):
         cf = _limb_signed_f32(c)
         dcorr = cf * half_rf_inv         # |d| shrinks 2^31 -> 2^9 -> ~1
         dneg = dcorr < 0
@@ -774,31 +773,41 @@ def sqrt_u(sa, ea, a1, a0):
         dl = [dmag & _u(_M14), (dmag >> 14) & _u(_M14), dmag >> 28]
         R_up = _limb_add(R, dl)
         R_dn = _limb_sub(R, dl)
-        R = [jnp.where(dneg, d_, u_2) for d_, u_2 in zip(R_dn, R_up)]
+        return [jnp.where(dneg, d_, u_2) for d_, u_2 in zip(R_dn, R_up)]
+
+    # round 1: the seed populates limbs 2-3 only, so R^2 is the 2-limb
+    # square placed four limbs up — 3 partial products instead of the
+    # generic _limb_sqr's 10 (same exact integer)
+    c = _limb_sub(N, [z, z, z, z] + _limb_sqr([R[2], R[3]], 4))
+    R = _correct(c, R)
+    c = _limb_sub(N, _limb_sqr(R, 8))
+    R = _correct(c, R)
 
     # exact fix-up: make R = floor(sqrt(N)), c = N - R^2 in [0, 2R].
     # After the two correction rounds R is within ~1.5 of floor(sqrt(N))
     # (round-2 residual <= 2^10 with a 2^-22-relative f32 quotient, plus
-    # truncation), so two fix-up rounds each way cover it; fuzz at 2.4M
-    # cases confirms.
+    # truncation), so two +-1 passes cover it. Each pass fixes one step in
+    # whichever direction is needed — the div fix-pass trick
+    # (_div_core): "R too big" (c < 0) and "R too small" (c >= 2R + 1)
+    # are mutually exclusive, so one combined pass replaces a
+    # down-round + an up-round. Fuzz at 2.4M cases (scripts/fuzz_f64emu)
+    # plus the suite's tie cases confirm the envelope.
     c = _limb_sub(N, _limb_sqr(R, 8))
     one = [_u(jnp.ones_like(a1))] + [z] * 3
     for _ in range(2):
-        neg_ = _limb_is_neg(c)
-        # R -= 1: c += 2R - 1
-        c_fix = _limb_sub(_limb_add(c, _limb_shl(R, 1, 8)), one)
-        R_fix = _limb_sub(R, one)
-        c = [jnp.where(neg_, f, cc) for f, cc in zip(c_fix, c)]
-        R = [jnp.where(neg_, f, rr) for f, rr in zip(R_fix, R)]
-    for _ in range(2):
-        # if c >= 2R + 1: R += 1 (c -= 2R + 1 uses the OLD R)
-        thr = _limb_add(_limb_shl(R, 1, 8), one)
+        twoR = _limb_shl(R, 1, 8)
+        neg_ = _limb_is_neg(c)           # R too big: R -= 1, c += 2R - 1
+        thr = _limb_add(twoR, one)       # 2R + 1
         gt, eq = _limb_cmp(c, thr)
-        ge = gt | eq
-        c_fix = _limb_sub(c, thr)
-        R_fix = _limb_add(R, one)
-        c = [jnp.where(ge, f, cc) for f, cc in zip(c_fix, c)]
-        R = [jnp.where(ge, f, rr) for f, rr in zip(R_fix, R)]
+        ge = ~neg_ & (gt | eq)           # R too small: R += 1, c -= 2R + 1
+        c_dn = _limb_sub(_limb_add(c, twoR), one)
+        c_up = _limb_sub(c, thr)
+        R_dn = _limb_sub(R, one)
+        R_up = _limb_add(R, one)
+        c = [jnp.where(neg_, d_, jnp.where(ge, u_2, cc))
+             for d_, u_2, cc in zip(c_dn, c_up, c)]
+        R = [jnp.where(neg_, d_, jnp.where(ge, u_2, rr))
+             for d_, u_2, rr in zip(R_dn, R_up, R)]
 
     # RNE: round up iff N > (R + 1/2)^2 <=> c > R (ties impossible)
     gt, _eq = _limb_cmp(c, R)

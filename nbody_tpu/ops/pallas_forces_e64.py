@@ -68,8 +68,13 @@ def _e64_kernel(jh_ref, jl_ref,
     """Grid point (i, j) — or (b, i, j) with a leading scenario-batch grid
     dimension (j_axis=2): fold j-tile columns into the i-row block.
 
-    jh/jl_ref: (TJ, 4) u32 in SMEM — packed hi/lo of (qx, qy, qz, gm)
-               for the j-tile, read one scalar row per fold step.
+    jh/jl_ref: (4, TJ) u32 in SMEM — packed hi/lo of (qx, qy, qz, gm)
+               for the j-tile, read one scalar per (component, fold step).
+               Components-major: with TJ minor the scoped window stays
+               (8, TJ)-padded (~8 KB at TJ=256) instead of the
+               (TJ, 4)-major layout's 128-lane padding (256 KB per
+               buffering level — measured blowing the scoped-memory
+               budget at TJ=512).
     q*_ref:    (R, 128) u32 in VMEM — the i-side rows, packed hi/lo.
     a*_ref:    (R, 128) u32 — accumulated accelerations, packed; carried
                across the sequential j grid dimension.
@@ -121,7 +126,7 @@ def _e64_kernel(jh_ref, jl_ref,
         # the leading (untiled) R row-tiles
         cols = []
         for k in range(4):
-            quads = [fe.unpack(jh_ref[j0 + s, k], jl_ref[j0 + s, k])
+            quads = [fe.unpack(jh_ref[k, j0 + s], jl_ref[k, j0 + s])
                      for s in range(sub_j)]
             cols.append(tuple(
                 jnp.broadcast_to(
@@ -190,10 +195,13 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
     bat, n = qh.shape[0], qh.shape[1]
     assert n % (rows_i * _LANES) == 0 and n % tile_j == 0 \
         and tile_j % sub_j == 0, (n, rows_i, tile_j, sub_j)
-    # j side: (B, n, 4) packed columns (qx, qy, qz, gm) for SMEM scalar
-    # reads
-    jh = jnp.concatenate([qh, gmh[..., None]], axis=-1)
-    jl = jnp.concatenate([ql, gml[..., None]], axis=-1)
+    # j side: (B, 4, n) packed components (qx, qy, qz, gm) for SMEM scalar
+    # reads — components-MAJOR so the j index is the minor (lane) dim of
+    # the scoped window (see the kernel docstring's padding note)
+    jh = jnp.concatenate([jnp.moveaxis(qh, -1, -2), gmh[..., None, :]],
+                         axis=-2)
+    jl = jnp.concatenate([jnp.moveaxis(ql, -1, -2), gml[..., None, :]],
+                         axis=-2)
     # i side: each axis as (B, n/128, 128) native u32 tiles
     col = lambda a, k: a[..., k].reshape(bat, n // _LANES, _LANES)
     iside = [col(a, k) for k in range(3) for a in (qh, ql)]
@@ -221,9 +229,9 @@ def _pallas_accel_e64(qh, ql, gmh, gml, *, eps: float, rows_i: int,
         kernel,
         grid=(bat, n // (rows_i * _LANES), n // tile_j),
         in_specs=[
-            pl.BlockSpec((None, tile_j, 4), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((None, 4, tile_j), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, tile_j, 4), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((None, 4, tile_j), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.SMEM),
         ] + [row_spec] * 6,
         out_specs=[row_spec] * 6,
