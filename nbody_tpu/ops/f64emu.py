@@ -753,21 +753,54 @@ def sqrt_u(sa, ea, a1, a0):
     s2l = _limbs14(S1, S0)
     N = _limb_shl(s2l + [z, z, z, z], 52, 8)
 
-    # float32 seed: R0 ~ sqrt(N), rel err ~2^-23
-    nf = _limb_f32(N)
-    rf = jnp.sqrt(nf)
-    # R limbs from the 24-bit mantissa of rf placed at the right scale:
-    # rf in [2^52, 2^53): m = rf * 2^-29 in [2^23, 2^24)
-    # place m * 2^29 -> bits 29..52: limb2 gets m bits 0..12 at offset 1
-    m = _f32_u32(rf * F32(2.0 ** -29))
-    R = [z, z, (m & _u(0x1FFF)) << 1, (m >> 13) & _u(_M14)]
+    # Double-f32 seed: one exact-residual f32 Newton step lands within
+    # ~2^8.5 of sqrt(N) — the error the old limb-domain round-1 ended at
+    # (~2^9) — so that whole round (small square + _limb_signed_f32 +
+    # correct, ~230 lane-ops) drops out. The chain, working at S2 scale
+    # (sqrt(N) = sqrt(S2) * 2^26):
+    #   S2 = hh*2^28 + rest (+tail <= 1)      [_hilo_f32 exact recovery]
+    #   y0 = fl(sqrt(fl(S2)))                 in [2^26, 2^27], ulp <= 2^3
+    #   y0^2 EXACTLY as ahi^2 + 2*ahi*alo + alo^2 via the INTEGER-domain
+    #     12+12-bit split of m24 = y0*2^-3 (each partial product has
+    #     <= 24 significant bits; no optimization_barrier needed, so the
+    #     same code is Mosaic- and XLA-safe, and FMA contraction of any
+    #     of these mul+adds is value-identical since every product is
+    #     exactly representable)
+    #   e = S2 - y0^2: hhs - ahi^2 is Sterbenz-exact (operands agree to
+    #     2^-9 rel), each later step rounds at the RESULT's ulp <= 2^8,
+    #     total |e - (S2 - y0^2)| <= ~2^10
+    #   d = e/(2 y0): |d| <= ~2^4; R0 = (y0 + d)*2^26 within
+    #     eps_e/4 + truncation + Newton-2nd-order (2^-20 * 2^26 = 2^6)
+    #     <= ~2^8.5 of sqrt(N).
+    # Per-op rounding differences across backends (f32 sqrt/div ulps)
+    # only move R0 within this envelope — the exact fix-up below makes
+    # the result bit-identical everywhere regardless.
+    hh, rest = _hilo_f32(s2l[3], s2l[2], s2l[1], s2l[0])
+    hhs = hh * F32(2.0 ** 28)            # exact power-of-2 scale
+    y0 = jnp.sqrt(hhs + rest)
+    m24 = _f32_u32(y0 * F32(2.0 ** -3))  # exact: ulp(y0) <= 2^3
+    cvt = lambda x: x.astype(I32).astype(F32)
+    ahi = cvt((m24 >> 12) << 12) * F32(8.0)
+    alo = cvt(m24 & _u(0xFFF)) * F32(8.0)
+    e_res2 = (((hhs - ahi * ahi) - F32(2.0) * (ahi * alo))
+              - alo * alo) + rest
+    qinv = F32(0.5) / y0
+    d0c = e_res2 * qinv
+    d0neg = d0c < 0
+    d0mag = _f32_u32(jnp.abs(d0c) * F32(2.0 ** 26))   # N-scale, < 2^31
+    d0l = [d0mag & _u(_M14), (d0mag >> 14) & _u(_M14), d0mag >> 28]
+    # seed placement: m24 * 2^29 -> bits 29..52 (limb2 offset 1)
+    Ry = [z, z, (m24 & _u(0x1FFF)) << 1, (m24 >> 13) & _u(_M14)]
+    R_up0 = _limb_add(Ry, d0l)
+    R_dn0 = _limb_sub(Ry, d0l)
+    R = [jnp.where(d0neg, d_, u_2) for d_, u_2 in zip(R_dn0, R_up0)]
 
-    half_rf_inv = F32(0.5) / rf          # 1/(2 sqrt(N)) approx
+    half_rf_inv = qinv * F32(2.0 ** -26)   # 1/(2 sqrt(N)) approx
 
-    # two correction rounds: R += round((N - R^2) / (2R))
+    # one correction round: R += round((N - R^2) / (2R))
     def _correct(c, R):
         cf = _limb_signed_f32(c)
-        dcorr = cf * half_rf_inv         # |d| shrinks 2^31 -> 2^9 -> ~1
+        dcorr = cf * half_rf_inv         # |d| shrinks 2^9 -> ~1
         dneg = dcorr < 0
         dmag = _f32_u32(jnp.abs(dcorr))
         dl = [dmag & _u(_M14), (dmag >> 14) & _u(_M14), dmag >> 28]
@@ -775,18 +808,13 @@ def sqrt_u(sa, ea, a1, a0):
         R_dn = _limb_sub(R, dl)
         return [jnp.where(dneg, d_, u_2) for d_, u_2 in zip(R_dn, R_up)]
 
-    # round 1: the seed populates limbs 2-3 only, so R^2 is the 2-limb
-    # square placed four limbs up — 3 partial products instead of the
-    # generic _limb_sqr's 10 (same exact integer)
-    c = _limb_sub(N, [z, z, z, z] + _limb_sqr([R[2], R[3]], 4))
-    R = _correct(c, R)
     c = _limb_sub(N, _limb_sqr(R, 8))
     R = _correct(c, R)
 
     # exact fix-up: make R = floor(sqrt(N)), c = N - R^2 in [0, 2R].
-    # After the two correction rounds R is within ~1.5 of floor(sqrt(N))
-    # (round-2 residual <= 2^10 with a 2^-22-relative f32 quotient, plus
-    # truncation), so two +-1 passes cover it. Each pass fixes one step in
+    # After the seed + one correction round R is within ~2 of
+    # floor(sqrt(N)) (residual <= 2^10 with a 2^-22-relative f32
+    # quotient, plus truncation), so two +-1 passes cover it. Each pass fixes one step in
     # whichever direction is needed — the div fix-pass trick
     # (_div_core): "R too big" (c < 0) and "R too small" (c >= 2R + 1)
     # are mutually exclusive, so one combined pass replaces a
