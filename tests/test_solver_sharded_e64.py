@@ -46,7 +46,13 @@ def tiny_scene():
 
 
 @slow
-def test_e64_mesh_byte_identical_to_single_chip(tiny_scene):
+def test_e64_mesh_byte_identical_to_single_chip(tiny_scene, monkeypatch):
+    # Pad to 8 bodies, not the 128 TPU bucket: the wall here is the
+    # XLA:CPU softfloat COMPILE (scales with the padded shape; the 128
+    # bucket never finished in >100 min, measured round 4), and padding
+    # is semantics-exact (+0.0 force identity, test_padding.py), so the
+    # byte-identity claim is unchanged. Same override the dryrun uses.
+    monkeypatch.setenv("NBODY_MESH_MIN_BUCKET", "8")
     cfg = dataclasses.replace(SimConfig(), n_steps=40)
     single = solve_scene(tiny_scene, cfg, precision="e64", platform="cpu")
     want = format_output(*single.as_tuple())
@@ -60,10 +66,11 @@ def test_e64_mesh_byte_identical_to_single_chip(tiny_scene):
 
 
 @slow
-def test_e64_mesh_p3_runs(tiny_scene):
+def test_e64_mesh_p3_runs(tiny_scene, monkeypatch):
     """An inflated planet radius + fast missile force a hit so Problem 3
     actually integrates on the e64 mesh path; answers must match the
     single-chip e64 solve byte for byte."""
+    monkeypatch.setenv("NBODY_MESH_MIN_BUCKET", "8")  # see test above
     cfg = dataclasses.replace(SimConfig(), n_steps=60,
                               planet_radius=2.05e14, missile_speed=1e30)
     single = solve_scene(tiny_scene, cfg, precision="e64", platform="cpu")
